@@ -1,0 +1,213 @@
+"""max / min / argmax / argmin reductions (reference:
+curl/common/functions/maximum.py). Four methods selected by
+cfg.functions.max_method: pairwise (O(n^2) comparisons, constant rounds),
+log_reduction (O(n), O(log n) rounds), double_log_reduction,
+accelerated_cascade. Ties are broken with a weighted random one-hot.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import cfg
+from ..mpc.mpc import MPCTensor
+
+__all__ = ["argmax", "argmin", "max", "min"]
+
+
+def argmax(self, dim=None, keepdim=False, one_hot=True):
+    method = cfg.functions.max_method
+    if self.dim() == 0:
+        val = jnp.ones(()) if one_hot else jnp.zeros(())
+        return MPCTensor.encrypt(val, src=0)
+    result = _argmax_helper(self, dim, one_hot, method, _return_max=False)
+    if not one_hot:
+        result = _one_hot_to_index(result, dim, keepdim)
+    return result
+
+
+def argmin(self, dim=None, keepdim=False, one_hot=True):
+    return (-self).argmax(dim=dim, keepdim=keepdim, one_hot=one_hot)
+
+
+def max(self, dim=None, keepdim=False, one_hot=True):
+    method = cfg.functions.max_method
+    if dim is None:
+        if method in ["log_reduction", "double_log_reduction"]:
+            return _max_helper_all_tree_reductions(self, method=method)
+        argmax_result = self.argmax(one_hot=True)
+        return self.mul(argmax_result).sum()
+    argmax_result, max_result = _argmax_helper(
+        self, dim=dim, one_hot=True, method=method, _return_max=True
+    )
+    if max_result is None:
+        max_result = (self * argmax_result).sum(axis=dim, keepdim=keepdim)
+    if keepdim and max_result.dim() < self.dim():
+        max_result = max_result.unsqueeze(dim)
+    if one_hot:
+        return max_result, argmax_result
+    return max_result, _one_hot_to_index(argmax_result, dim, keepdim)
+
+
+def min(self, dim=None, keepdim=False, one_hot=True):
+    result = (-self).max(dim=dim, keepdim=keepdim, one_hot=one_hot)
+    if dim is None:
+        return -result
+    return -result[0], result[1]
+
+
+def _argmax_helper_pairwise(enc_tensor, dim=None):
+    """All-pairs comparisons, one round (maximum.py:95)."""
+    dim = -1 if dim is None else dim
+    row_length = enc_tensor.size(dim) if enc_tensor.size(dim) > 1 else 2
+
+    a = enc_tensor.expand(row_length - 1, *enc_tensor.size())
+    b = MPCTensor.stack(
+        [enc_tensor.roll(i + 1, dims=dim) for i in range(row_length - 1)]
+    )
+    pairwise = a.ge(b)
+    if row_length - 1 < 128:
+        result = pairwise.prod(0)
+    else:
+        result = pairwise.sum(axis=0).ge(row_length - 1)
+    return result, None
+
+
+def _compute_pairwise_comparisons_for_steps(input_tensor, dim, steps):
+    x = input_tensor
+    for _ in range(steps):
+        m = x.size(dim)
+        a, b, remainder = x.split([m // 2, m // 2, m % 2], dim=dim)
+        pairwise_max = a.where(a.ge(b), b)
+        parts = [pairwise_max] + ([remainder] if m % 2 else [])
+        x = MPCTensor.cat(parts, axis=dim) if len(parts) > 1 else pairwise_max
+    return x
+
+
+def _max_helper_log_reduction(enc_tensor, dim=None):
+    if enc_tensor.dim() == 0:
+        return enc_tensor
+    inp, dim_used = enc_tensor, dim
+    if dim is None:
+        dim_used = 0
+        inp = enc_tensor.flatten()
+    n = inp.size(dim_used)
+    steps = int(math.log(n)) if n > 1 else 0
+    reduced = _compute_pairwise_comparisons_for_steps(inp, dim_used, steps)
+    with cfg.temp_override({"functions.max_method": "pairwise"}):
+        enc_max_vec, _ = reduced.max(dim=dim_used)
+    return enc_max_vec
+
+
+def _max_helper_double_log_recursive(enc_tensor, dim):
+    n = enc_tensor.size(dim)
+    sqrt_n = int(math.sqrt(n))
+    if n == 1 or sqrt_n <= 1:
+        if n == 1:
+            return enc_tensor
+        with cfg.temp_override({"functions.max_method": "pairwise"}):
+            m, _ = enc_tensor.max(dim=dim, keepdim=True)
+        return m
+    count_sqrt_n = n // sqrt_n
+    split_t, remainder = enc_tensor.split([sqrt_n * count_sqrt_n, n % sqrt_n], dim=dim)
+    size_arr = [enc_tensor.size(i) for i in range(enc_tensor.dim())]
+    size_arr[dim], size_arr[dim + 1] = sqrt_n, enc_tensor.size(dim + 1) * count_sqrt_n
+    split_t = split_t.reshape(size_arr)
+    split_max = _max_helper_double_log_recursive(split_t, dim)
+    size_arr[dim], size_arr[dim + 1] = count_sqrt_n, enc_tensor.size(dim + 1)
+    enc_max_tensor = split_max.reshape(size_arr)
+    full = (
+        MPCTensor.cat([enc_max_tensor, remainder], axis=dim)
+        if n % sqrt_n
+        else enc_max_tensor
+    )
+    with cfg.temp_override({"functions.max_method": "pairwise"}):
+        enc_max, _ = full.max(dim=dim, keepdim=True)
+    return enc_max
+
+
+def _max_helper_double_log_reduction(enc_tensor, dim=None):
+    if enc_tensor.dim() == 0:
+        return enc_tensor
+    inp, dim_used = enc_tensor, dim
+    size_arr = ()
+    if dim is None:
+        dim_used = 0
+        inp = enc_tensor.flatten()
+    dim_used = dim_used + inp.dim() if dim_used < 0 else dim_used
+    if inp.dim() > 1:
+        size_arr = [inp.size(i) for i in range(inp.dim()) if i != dim_used]
+    inp = inp.unsqueeze(dim_used + 1)
+    out = _max_helper_double_log_recursive(inp, dim_used)
+    out = out.squeeze(dim_used + 1)
+    return out.reshape(size_arr)
+
+
+def _max_helper_accelerated_cascade(enc_tensor, dim=None):
+    if enc_tensor.dim() == 0:
+        return enc_tensor
+    inp, dim_used = enc_tensor, dim
+    if dim is None:
+        dim_used = 0
+        inp = enc_tensor.flatten()
+    n = inp.size(dim_used)
+    if n < 3:
+        with cfg.temp_override({"functions.max_method": "pairwise"}):
+            enc_max, _ = enc_tensor.max(dim=dim_used)
+        return enc_max
+    steps = int(math.log(max(math.log(max(math.log(n), 1)), 1))) + 1
+    reduced = _compute_pairwise_comparisons_for_steps(enc_tensor, dim_used, steps)
+    return _max_helper_double_log_reduction(reduced, dim=dim_used)
+
+
+def _max_helper_all_tree_reductions(enc_tensor, dim=None, method="log_reduction"):
+    if method == "log_reduction":
+        return _max_helper_log_reduction(enc_tensor, dim)
+    if method == "double_log_reduction":
+        return _max_helper_double_log_reduction(enc_tensor, dim)
+    if method == "accelerated_cascade":
+        return _max_helper_accelerated_cascade(enc_tensor, dim)
+    raise RuntimeError("Unknown max method")
+
+
+def _argmax_helper_all_tree_reductions(enc_tensor, dim=None, method="log_reduction"):
+    enc_max_vec = _max_helper_all_tree_reductions(enc_tensor, dim=dim, method=method)
+    enc_max_vec_orig = enc_max_vec.unsqueeze(dim) if dim is not None else enc_max_vec
+    enc_one_hot_vec = enc_tensor.eq(enc_max_vec_orig)
+    return enc_one_hot_vec, enc_max_vec
+
+
+def _argmax_helper(enc_tensor, dim=None, one_hot=True, method="pairwise", _return_max=False):
+    if enc_tensor.dim() == 0:
+        result = MPCTensor.encrypt(jnp.ones(()) if one_hot else jnp.zeros(()), src=0)
+        return (result, None) if _return_max else result
+
+    updated = enc_tensor.flatten() if dim is None else enc_tensor
+    if method == "pairwise":
+        result_args, result_val = _argmax_helper_pairwise(updated, dim)
+    elif method in ("log_reduction", "double_log_reduction", "accelerated_cascade"):
+        result_args, result_val = _argmax_helper_all_tree_reductions(updated, dim, method)
+    else:
+        raise RuntimeError("Unknown argmax method")
+
+    result_args = result_args.weighted_index(dim)
+    result_args = result_args.view(enc_tensor.size()) if dim is None else result_args
+    return (result_args, result_val) if _return_max else result_args
+
+
+def _one_hot_to_index(tensor, dim, keepdim):
+    if dim is None:
+        flat = tensor.flatten()
+        idx = jnp.arange(flat.size(0), dtype=jnp.float64)
+        return flat.mul(idx).sum()
+    size = [1] * tensor.dim()
+    size[dim] = tensor.size(dim)
+    idx = jnp.arange(tensor.size(dim), dtype=jnp.float64).reshape(size)
+    return tensor.mul(idx).sum(axis=dim, keepdim=keepdim)
+
+
+for _name, _fn in (("argmax", argmax), ("argmin", argmin), ("max", max), ("min", min)):
+    setattr(MPCTensor, _name, _fn)

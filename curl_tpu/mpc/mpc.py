@@ -1,0 +1,306 @@
+"""MPCTensor: ptype-dispatching facade over the share primitives.
+
+Rebuild of the reference MPCTensor (reference: curl/mpc/mpc.py:23). Wraps an
+ArithmeticSharedTensor or BinarySharedTensor, converts between them via the
+A2B/B2A protocols, and hosts the sign/compare building blocks (_ltz, the
+2PC equality trick). The function library (curl_tpu.functions) patches its
+ops onto this class at import time, mirroring the reference's registration
+loop (cryptensor.py:744-750, arithmetic.py:732-735).
+
+Functional: every method returns a new MPCTensor; instances are pytrees and
+flow through jit/vmap/scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import comm, ring
+from ..encoder import FixedPointEncoder
+from .primitives import converters
+from .primitives.arithmetic import ArithmeticSharedTensor
+from .primitives.binary import BinarySharedTensor
+from .ptype import ptype as Ptype
+
+
+@jax.tree_util.register_pytree_node_class
+class MPCTensor:
+    __slots__ = ("_tensor", "ptype")
+
+    def __init__(self, tensor, ptype=Ptype.arithmetic):
+        self._tensor = tensor
+        self.ptype = ptype
+
+    def tree_flatten(self):
+        return (self._tensor,), (self.ptype,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def encrypt(cls, value, src: int = 0, precision=None, ptype=Ptype.arithmetic):
+        if ptype == Ptype.arithmetic:
+            return cls(ArithmeticSharedTensor.encrypt(value, src, precision))
+        return cls(BinarySharedTensor.encrypt(value, src), Ptype.binary)
+
+    @classmethod
+    def from_shares(cls, share, precision=None, ptype=Ptype.arithmetic):
+        if ptype == Ptype.arithmetic:
+            return cls(ArithmeticSharedTensor.from_shares(share, precision))
+        return cls(BinarySharedTensor.from_shares(share), Ptype.binary)
+
+    @classmethod
+    def rand(cls, *shape):
+        """Uniform [0, 1): random bits at fixed-point precision, converted
+        B2A (reference mpc.py:217-230)."""
+        enc = FixedPointEncoder()
+        bits = BinarySharedTensor.rand(shape, bits=enc.precision_bits)
+        bits.encoder = enc
+        b = cls(bits, Ptype.binary)
+        return b.to_ptype(Ptype.arithmetic, bits=enc.precision_bits)
+
+    @classmethod
+    def randn(cls, *shape):
+        from ..functions import sampling
+
+        return sampling.randn(cls, *shape)
+
+    @classmethod
+    def bernoulli(cls, p):
+        from ..functions import sampling
+
+        return sampling.bernoulli_public(cls, p)
+
+    # -- basic structure ---------------------------------------------------
+    @property
+    def share(self):
+        return self._tensor.share
+
+    @property
+    def encoder(self):
+        return self._tensor.encoder
+
+    @property
+    def shape(self):
+        return self._tensor.shape
+
+    @property
+    def ndim(self):
+        return self._tensor.ndim
+
+    def size(self, dim=None):
+        return self._tensor.shape if dim is None else self._tensor.shape[dim]
+
+    def dim(self):
+        return self._tensor.ndim
+
+    def nelement(self):
+        return int(np.prod(self.shape)) if self.shape else 1
+
+    @property
+    def rank(self):
+        return comm.rank_signed()
+
+    def clone(self):
+        return MPCTensor(self._tensor.clone(), self.ptype)
+
+    shallow_copy = clone
+
+    def new_like(self, tensor, ptype=None):
+        return MPCTensor(tensor, ptype if ptype is not None else self.ptype)
+
+    def __repr__(self):
+        return f"MPCTensor({self._tensor}, ptype={self.ptype})"
+
+    # -- conversion --------------------------------------------------------
+    def to_ptype(self, ptype, **kwargs):
+        """A2B / B2A conversion (reference mpc.py:100-151)."""
+        if ptype == self.ptype:
+            return self
+        if ptype == Ptype.binary:
+            return MPCTensor(converters.A2B(self._tensor), Ptype.binary)
+        precision = kwargs.pop("precision", None)
+        arith = converters.B2A(self._tensor, precision=precision, **kwargs)
+        return MPCTensor(arith, Ptype.arithmetic)
+
+    to = to_ptype
+
+    def arithmetic(self):
+        return self.to_ptype(Ptype.arithmetic)
+
+    def binary(self):
+        return self.to_ptype(Ptype.binary)
+
+    # -- reveal ------------------------------------------------------------
+    def reveal(self):
+        return self._tensor.reveal()
+
+    def get_plain_text(self):
+        return self._tensor.get_plain_text()
+
+    # -- comparisons core --------------------------------------------------
+    def _ltz(self):
+        """1 if value < 0 else 0 (reference mpc.py:233-242): A2B, extract
+        sign bit, B2A single-bit."""
+        precision = 0 if self.encoder.scale == 1 else None
+        b = converters.A2B(self._tensor)
+        b = b.logical_rshift(63)
+        arith = converters.B2A(b, precision=precision, bits=1)
+        return MPCTensor(ArithmeticSharedTensor(arith.share, FixedPointEncoder(0)))
+
+    def eq(self, y):
+        if comm.get_world_size() == 2:
+            return (self - y)._eqz_2PC()
+        return -(self.ne(y)) + 1
+
+    def ne(self, y):
+        if comm.get_world_size() == 2:
+            return -(self.eq(y)) + 1
+        difference = self - y
+        stacked = ArithmeticSharedTensor(
+            jnp.stack([difference.share, jnp.negative(difference.share)]),
+            difference.encoder,
+        )
+        ltz = MPCTensor(stacked)._ltz()
+        summed = jnp.sum(ltz.share, axis=0)
+        return MPCTensor(ArithmeticSharedTensor(summed, ltz.encoder))
+
+    def _eqz_2PC(self):
+        """self == 0 for 2 parties (reference mpc.py:262-274): party 0
+        shares its share, party 1 shares the negation; equality circuit."""
+        x0 = BinarySharedTensor.encrypt(self.share, src=0)
+        x1 = BinarySharedTensor.encrypt(jnp.negative(self.share), src=1)
+        eq_bits = x0.eq(x1)
+        eq_bits.encoder = self.encoder
+        result = converters.B2A(eq_bits, precision=0, bits=1)
+        return MPCTensor(ArithmeticSharedTensor(result.share, FixedPointEncoder(0)))
+
+    # -- arithmetic passthroughs -------------------------------------------
+    def _wrap(self, result):
+        return MPCTensor(result, self.ptype)
+
+    def add(self, y):
+        return self._wrap(self._tensor.add(_unwrap(y)))
+
+    def sub(self, y):
+        return self._wrap(self._tensor.sub(_unwrap(y)))
+
+    def mul(self, y):
+        return self._wrap(self._tensor.mul(_unwrap(y)))
+
+    def matmul(self, y):
+        return self._wrap(self._tensor.matmul(_unwrap(y)))
+
+    def conv1d(self, kernel, **kwargs):
+        return self._wrap(self._tensor.conv1d(_unwrap(kernel), **kwargs))
+
+    def conv2d(self, kernel, **kwargs):
+        return self._wrap(self._tensor.conv2d(_unwrap(kernel), **kwargs))
+
+    def conv_transpose1d(self, kernel, **kwargs):
+        return self._wrap(self._tensor.conv_transpose1d(_unwrap(kernel), **kwargs))
+
+    def conv_transpose2d(self, kernel, **kwargs):
+        return self._wrap(self._tensor.conv_transpose2d(_unwrap(kernel), **kwargs))
+
+    def square(self):
+        return self._wrap(self._tensor.square())
+
+    def neg(self):
+        return self._wrap(self._tensor.neg())
+
+    def div(self, y):
+        """Division (reference mpc.py:276-303): private divisor goes through
+        reciprocal; public scalars/ints divide the encoding."""
+        if isinstance(y, MPCTensor):
+            return self.mul(y.reciprocal())
+        return self._wrap(self._tensor.div(y))
+
+    def divmod(self, y):
+        d, r = self._tensor.divmod(y)
+        return self._wrap(d), self._wrap(r)
+
+    def mod(self, y):
+        return self._wrap(self._tensor.mod(y))
+
+    def egk_trunc_pr(self, l, m):
+        return self._wrap(self._tensor.egk_trunc_pr(l, m))
+
+    def egk_truncmod_pr(self, l, m):
+        d, r = self._tensor.egk_truncmod_pr(l, m)
+        return self._wrap(d), self._wrap(r)
+
+    def evaluate_lut(self, lut):
+        return self._wrap(self._tensor.evaluate_lut(lut))
+
+    def evaluate_bior_lut(self, luts, scale, bias):
+        return self._wrap(self._tensor.evaluate_bior_lut(luts, _unwrap(scale), bias))
+
+    def evaluate_embed(self, embed):
+        return self._wrap(self._tensor.evaluate_embed(_unwrap(embed)))
+
+    def avg_pool2d(self, kernel_size, **kwargs):
+        return self._wrap(self._tensor.avg_pool2d(kernel_size, **kwargs))
+
+    def index_add(self, dim, index, tensor):
+        return self._wrap(self._tensor.index_add(dim, index, _unwrap(tensor)))
+
+    def scatter_add(self, dim, index, other):
+        return self._wrap(self._tensor.scatter_add(dim, index, _unwrap(other)))
+
+    def pad(self, pad_width, value=0):
+        return self._wrap(self._tensor.pad(pad_width, value=value))
+
+    def where(self, condition, y):
+        return self._wrap(self._tensor.where(_unwrap(condition), _unwrap(y)))
+
+    # operators
+    __add__ = add
+    __radd__ = add
+    __sub__ = sub
+
+    def __rsub__(self, y):
+        return self.neg().add(y)
+
+    __mul__ = mul
+    __rmul__ = mul
+    __matmul__ = matmul
+    __truediv__ = div
+    __neg__ = neg
+    __mod__ = mod
+
+    def __getitem__(self, idx):
+        return self._wrap(self._tensor[idx])
+
+    # comparisons via the logic module (patched below by functions.logic)
+    def __lt__(self, y):
+        return self.lt(y)
+
+    def __le__(self, y):
+        return self.le(y)
+
+    def __gt__(self, y):
+        return self.gt(y)
+
+    def __ge__(self, y):
+        return self.ge(y)
+
+    @staticmethod
+    def stack(tensors, axis=0):
+        inner = type(tensors[0]._tensor).stack(
+            [t._tensor for t in tensors], axis=axis
+        )
+        return MPCTensor(inner, tensors[0].ptype)
+
+    @staticmethod
+    def cat(tensors, axis=0):
+        inner = type(tensors[0]._tensor).cat([t._tensor for t in tensors], axis=axis)
+        return MPCTensor(inner, tensors[0].ptype)
+
+
+def _unwrap(y):
+    return y._tensor if isinstance(y, MPCTensor) else y

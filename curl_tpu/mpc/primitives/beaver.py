@@ -1,0 +1,328 @@
+"""Beaver-triple protocols + Curl's LUT protocols, TPU-native.
+
+Rebuild of the reference beaver module (reference:
+curl/mpc/primitives/beaver.py). Every protocol here costs exactly the same
+number of communication rounds as the reference:
+
+  mul/matmul/conv   1 batched reveal          (beaver.py:78-87)
+  square            1 reveal                  (beaver.py:114)
+  egk_trunc_pr      1 reveal                  (beaver.py:172-210, EGK+20 Fig.10)
+  evaluate_lut      1 reveal, any table size  (beaver.py:213-247)
+  evaluate_bior_lut 1 reveal + 1 Beaver mul + 1 EGK trunc  (beaver.py:250-294)
+  evaluate_embed    1 reveal + ring matmul    (beaver.py:297-333)
+  AND               1 batched reveal          (beaver.py:336)
+  B2A_single_bit    1 reveal                  (beaver.py:358)
+
+TPU-first detail: the LUT gather is reformulated. The reference gathers the
+(N, L) secret one-hot at rotated indices then dots with the public table
+(beaver.py:237-241). Algebraically identical and far cheaper on TPU is to
+gather the *public* L-entry table at rotated indices —
+    result[n] = sum_j onehot_r[n, j] * lut[(j + shift_n) mod L]
+— a small-table take plus an elementwise multiply-reduce on the VPU, with no
+gather of secret data at all.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import comm
+from ... import random as rng
+from ... import ring
+from ...config import cfg
+from ...encoder import FixedPointEncoder
+from .arithmetic import ArithmeticSharedTensor
+
+
+def _provider():
+    from .. import get_default_provider
+
+    return get_default_provider()
+
+
+def _raw(x: ArithmeticSharedTensor) -> ArithmeticSharedTensor:
+    """Scale-1 view (the IgnoreEncodings context of the reference)."""
+    return ArithmeticSharedTensor(x.share, FixedPointEncoder(0))
+
+
+def _beaver_protocol(op, x, y, **kwargs):
+    """z = c + eps*b + a*delta + eps*delta with one batched reveal."""
+    provider = _provider()
+    a, b, c = provider.generate_additive_triple(
+        x.shape, y.shape, op, **kwargs
+    )
+
+    if cfg.mpc.active_security:
+        # SPDZ-style sacrifice check (beaver.py:58-76): verify (a, b, c)
+        # against a second triple (f, g, h) at a random multiplier t.
+        f, g, h = provider.generate_additive_triple(x.shape, y.shape, op, **kwargs)
+        t = ArithmeticSharedTensor.PRSS(a.shape)
+        t_plain = _raw(t).reveal()
+        rho = comm.all_sum(t_plain * a.share - f.share)
+        sigma = comm.all_sum(b.share - g.share)
+        check = t_plain * c.share - h.share - sigma * f.share - rho * g.share
+        check = comm.all_sum(check) - rho * sigma
+        # Branchless failure: poison the output share so a tampered triple
+        # can never yield a correct result (jit-compatible alternative to
+        # the reference's raise).
+        bad = jnp.any(check != 0)
+        poison = jnp.where(bad, rng.random_ring(c.shape, "local"), jnp.uint64(0))
+        c = c.with_share(c.share + poison)
+
+    eps_share = x.share - a.share
+    delta_share = y.share - b.share
+    epsilon, delta = comm.all_sum([eps_share, delta_share])
+
+    ring_op = _RING_OPS[op]
+    z = c.share
+    z = z + ring_op(epsilon, b.share, **kwargs)
+    z = z + ring_op(a.share, delta, **kwargs)
+    pub = ring_op(epsilon, delta, **kwargs)
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        pub = pub * mask
+    z = z + pub
+    return ArithmeticSharedTensor(z, x.encoder)
+
+
+_RING_OPS = {
+    "mul": lambda a, b, **kw: a * b,
+    "matmul": ring.matmul,
+    "conv1d": ring.conv1d,
+    "conv2d": ring.conv2d,
+    "conv_transpose1d": ring.conv_transpose1d,
+    "conv_transpose2d": ring.conv_transpose2d,
+}
+
+
+def mul(x, y):
+    return _beaver_protocol("mul", x, y)
+
+
+def matmul(x, y):
+    return _beaver_protocol("matmul", x, y)
+
+
+def conv1d(x, y, **kwargs):
+    return _beaver_protocol("conv1d", x, y, **kwargs)
+
+
+def conv2d(x, y, **kwargs):
+    return _beaver_protocol("conv2d", x, y, **kwargs)
+
+
+def conv_transpose1d(x, y, **kwargs):
+    return _beaver_protocol("conv_transpose1d", x, y, **kwargs)
+
+
+def conv_transpose2d(x, y, **kwargs):
+    return _beaver_protocol("conv_transpose2d", x, y, **kwargs)
+
+
+def square(x):
+    """z = r2 + 2*eps*r + eps^2, one reveal (beaver.py:114-127)."""
+    provider = _provider()
+    r, r2 = provider.square(x.shape)
+    epsilon = comm.all_sum(x.share - r.share)
+    z = r2.share + ring.scalar(2) * r.share * epsilon
+    pub = epsilon * epsilon
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        pub = pub * mask
+    return ArithmeticSharedTensor(z + pub, x.encoder)
+
+
+def wraps(x):
+    """Wrap-count protocol (beaver.py:130-157): [theta_x] = theta_z +
+    [beta_xr] - [theta_r] (eta term dropped whp)."""
+    provider = _provider()
+    r, theta_r = provider.wrap_rng(x.shape)
+    beta_xr = ring.count_wraps(jnp.stack([x.share, r.share], axis=0))
+
+    z_share = x.share + r.share
+    z_stack = comm.all_gather_stack(z_share)  # (P, ...)
+    theta_z = ring.count_wraps(z_stack)
+    theta_x = beta_xr - theta_r.share
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        theta_x = theta_x + mask * theta_z
+    else:
+        theta_x = theta_x + theta_z
+    return ArithmeticSharedTensor(theta_x, FixedPointEncoder(0))
+
+
+def truncate(x, y: int):
+    """Public-divisor truncation with wrap correction for >2PC
+    (beaver.py:160-169)."""
+    wrap_count = wraps(x)
+    share = ring.trunc_div_signed(x.share, y)
+    correction = wrap_count.share * ring.scalar(4 * ((1 << 62) // y))
+    return ArithmeticSharedTensor(share - correction, x.encoder)
+
+
+def egk_trunc_pr(x, l: int, m: int):
+    """EGK+20 Fig.10 probabilistic truncation, one reveal
+    (beaver.py:172-210). Bit-exact port of the arithmetic."""
+    provider = _provider()
+    k = 64
+    r, r_p, b = provider.egk_trunc_pr_rng(x.shape, l, m)
+    two_to_l = ring.scalar(1 << l)
+
+    # Step 1: mask and reveal c
+    a_p = x.share + _public_const(1 << (l - 1), x.shape)
+    rpp = ring.scalar(1 << m) * r.share + r_p.share
+    enc_c = ring.scalar(1 << (k - l - 1)) * (a_p + two_to_l * b.share + rpp)
+    c = comm.all_sum(enc_c)
+    c_p = ring.shift_right_arith(c, k - l - 1)
+
+    # Step 2: strip the masking bit
+    c_pl = (ring.shift_right_arith(c_p, l)) & jnp.uint64(1)
+    # v = b + c_pl - 2 b c_pl  (arithmetic XOR; c_pl public)
+    v = b.share + _rank0(c_pl) - ring.scalar(2) * b.share * c_pl
+
+    # Step 3: reconstruct the truncation
+    c_p_mod = jnp.mod(ring.to_signed(c_p), ring.to_signed(two_to_l)).view(jnp.uint64)
+    pub_tail = ring.signed_floordiv_pow2(c_p_mod, m)
+    y_share = (
+        ring.scalar(1 << (l - m)) * v
+        - r.share
+        - _public_const(1 << (l - m - 1), x.shape)
+        + _rank0(pub_tail)
+    )
+    return ArithmeticSharedTensor(y_share, x.encoder)
+
+
+def _public_const(value: int, shape):
+    """Additive public constant: contributed by rank 0 only."""
+    c = ring.const(value, shape)
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        return mask * c
+    return c
+
+
+def _rank0(arr):
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        return mask * arr
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# LUT protocols — Curl's signature primitives
+# ---------------------------------------------------------------------------
+
+def _lut_open_shift(x_flat, size: int):
+    """Generate one-hot mask, reveal (x - r) mod size. One round."""
+    provider = _provider()
+    r, one_hot_r = provider.generate_one_hot(x_flat.shape, size)
+    z = comm.all_sum(x_flat.share - r.share)
+    shift = jnp.mod(ring.to_signed(z), jnp.int64(size)).astype(jnp.int32)
+    return one_hot_r, shift
+
+
+def _rotated_table(lut, shift, size: int):
+    """public table gathered at (j + shift_n) mod size -> (N, L)."""
+    j = jnp.arange(size, dtype=jnp.int32)[None, :]
+    idx = jnp.mod(j + shift[:, None], size)
+    return jnp.take(ring.to_ring(lut), idx, axis=0)
+
+
+def evaluate_lut(x, lut):
+    """result[n] = sum_j onehot_r[n,j] * lut[(j + shift_n) mod L]
+    (beaver.py:213-247, reformulated for public-side gather)."""
+    lut = ring.to_ring(jnp.asarray(lut))
+    size = lut.shape[0]
+    shape = x.shape
+    x_flat = x.with_share(x.share.reshape(-1))
+    one_hot_r, shift = _lut_open_shift(x_flat, size)
+    rot = _rotated_table(lut, shift, size)        # (N, L) public
+    result = jnp.sum(one_hot_r.share * rot, axis=1)
+    return ArithmeticSharedTensor(result.reshape(shape), x.encoder)
+
+
+def evaluate_bior_lut(x, luts, scale, bias: int):
+    """Two-bank LUT + private linear interpolation (beaver.py:250-294):
+    (lut1 - lut0) * scale + 2^bias * lut0, then EGK-truncate by 2*bias."""
+    luts = ring.to_ring(jnp.asarray(luts))      # (2, L)
+    size = luts.shape[1]
+    shape = x.shape
+    x_flat = x.with_share(x.share.reshape(-1))
+    one_hot_r, shift = _lut_open_shift(x_flat, size)
+
+    rot0 = _rotated_table(luts[0], shift, size)
+    rot1 = _rotated_table(luts[1], shift, size)
+    lut0 = jnp.sum(one_hot_r.share * rot0, axis=1)
+    lut1 = jnp.sum(one_hot_r.share * rot1, axis=1)
+
+    scaling = _raw(
+        ArithmeticSharedTensor(scale.share.reshape(-1), scale.encoder)
+    )
+    diff = ArithmeticSharedTensor(lut1 - lut0, FixedPointEncoder(0))
+    prod = mul(diff, scaling)  # Beaver mul, no rescale (scale-1 encodings)
+    combined = prod.share + ring.scalar(1 << bias) * lut0
+    out = egk_trunc_pr(
+        ArithmeticSharedTensor(combined, FixedPointEncoder(0)), 62, 2 * bias
+    )
+    return ArithmeticSharedTensor(out.share.reshape(shape), x.encoder)
+
+
+def evaluate_embed(x, embed_share):
+    """Private embedding lookup: rotated one-hot (secret-shared) matmul with
+    the shared embedding matrix (beaver.py:297-333).
+
+    Unlike evaluate_lut, the table itself is secret-shared here, so the
+    gather-the-public-table trick does not apply; instead the (N, V) one-hot
+    share is gathered at rotated indices and fed to the ring matmul
+    (one int8-limb MXU pass).
+    """
+    embed_share = ring.to_ring(embed_share)
+    size = embed_share.shape[0]
+    shape = x.shape + (embed_share.shape[1],)
+    x_flat = x.with_share(x.share.reshape(-1))
+    one_hot_r, shift = _lut_open_shift(x_flat, size)
+
+    j = jnp.arange(size, dtype=jnp.int32)[None, :]
+    idx = jnp.mod(j - shift[:, None], size)
+    rotated = jnp.take_along_axis(one_hot_r.share, idx, axis=1)
+    lookup = ring.matmul(rotated, embed_share)
+    return ArithmeticSharedTensor(lookup.reshape(shape), FixedPointEncoder(0))
+
+
+# ---------------------------------------------------------------------------
+# Binary Beaver + share conversion helpers
+# ---------------------------------------------------------------------------
+
+def AND(x, y):
+    """Binary Beaver protocol, one batched reveal (beaver.py:336-355)."""
+    from .binary import BinarySharedTensor
+
+    provider = _provider()
+    shape = np.broadcast_shapes(x.shape, y.shape)
+    xs = jnp.broadcast_to(x.share, shape)
+    ys = jnp.broadcast_to(y.share, shape)
+    a, b, c = provider.generate_binary_triple(shape, shape)
+    epsilon, delta = comm.all_xor([xs ^ a.share, ys ^ b.share])
+    z = (b.share & epsilon) ^ (a.share & delta) ^ c.share
+    pub = epsilon & delta
+    if comm.get_world_size() > 1:
+        mask = jnp.where(
+            comm.rank_signed() == 0, jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64(0)
+        )
+        pub = pub & mask
+    return BinarySharedTensor(z ^ pub, x.encoder)
+
+
+def B2A_single_bit(xB):
+    """Convert single-bit binary shares to arithmetic (beaver.py:358-378)."""
+    if comm.get_world_size() < 2:
+        return ArithmeticSharedTensor(xB.share, FixedPointEncoder(0))
+    provider = _provider()
+    rA, rB = provider.B2A_rng(xB.shape)
+    z = comm.all_xor(xB.share ^ rB.share)
+    # rA * (1 - 2z) + z  with z public
+    one_minus_2z = ring.scalar(1) - ring.scalar(2) * z
+    share = rA.share * one_minus_2z + _rank0(z)
+    return ArithmeticSharedTensor(share, FixedPointEncoder(0))

@@ -1,0 +1,120 @@
+"""TupleProvider base: request tracing + offline tuple cache, jit-native.
+
+The reference interposes __getattribute__ to record tuple requests and serve
+them from a prefilled cache (reference: curl/mpc/provider/provider.py:
+114-157). The TPU-native equivalent must work *inside* a jit trace, where a
+Python-side cache pop would bake tuples in as constants. Design:
+
+  * trace mode: provider methods record (func, shapes, kwargs) at trace time
+    while still generating inline (so tracing runs produce valid results).
+  * fill_cache(): replays the recorded requests inside a dedicated party
+    program whose outputs are the tuple pytrees — the offline phase as one
+    XLA computation.
+  * serve mode: the compiled online step takes the cache as an *argument*;
+    provider methods pop entries positionally at trace time. Trace order is
+    deterministic, so request N of the online trace aligns with entry N of
+    the offline run.
+
+This turns Curl's tuple cache into what it conceptually is on TPU: an
+offline-generated stream of correlated randomness living in HBM.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+TRACEABLE_FUNCTIONS = [
+    "generate_additive_triple",
+    "square",
+    "generate_binary_triple",
+    "wrap_rng",
+    "B2A_rng",
+    "generate_one_hot",
+    "egk_trunc_pr_rng",
+]
+
+
+@dataclass
+class TupleRequest:
+    func: str
+    args: tuple
+    kwargs: tuple
+
+
+@dataclass
+class TupleCache:
+    """Positional stream of precomputed tuple pytrees (per-party leaves)."""
+
+    entries: List[Any] = field(default_factory=list)
+    cursor: int = 0
+
+    def pop(self):
+        if self.cursor >= len(self.entries):
+            raise RuntimeError(
+                "tuple cache exhausted — online trace requests more tuples "
+                "than were prefilled"
+            )
+        out = self.entries[self.cursor]
+        self.cursor += 1
+        return out
+
+    def reset(self):
+        self.cursor = 0
+
+
+class TupleProvider:
+    """Base provider with trace/cache interposition."""
+
+    NAME: str = "base"
+
+    def __init__(self):
+        self.tracing: bool = False
+        self.requests: List[TupleRequest] = []
+        self._active_cache: Optional[TupleCache] = None
+
+    # -- trace / cache management (reference provider.py:28-157) -----------
+    def trace(self, tracing: bool = True):
+        self.tracing = tracing
+
+    def trace_once(self):
+        untraced = len(self.requests) == 0
+        self.trace(untraced)
+
+    def record_request(self, func, args, kwargs):
+        self.requests.append(
+            TupleRequest(func, args, tuple(sorted(kwargs.items())))
+        )
+
+    def attach_cache(self, cache: Optional[TupleCache]):
+        self._active_cache = cache
+        if cache is not None:
+            cache.reset()
+
+    def _serve_or(self, func_name, generate_fn, args, kwargs):
+        if self._active_cache is not None:
+            return self._active_cache.pop()
+        if self.tracing:
+            self.record_request(func_name, args, kwargs)
+        return generate_fn()
+
+    def fill_cache_entries(self):
+        """Generate all recorded requests in order; returns list of tuples.
+
+        Call inside a party context (e.g. via run_parties) and wrap the
+        result in a TupleCache; feed that cache to the online step.
+        """
+        entries = []
+        for req in self.requests:
+            fn = getattr(self, req.func)
+            entries.append(fn(*req.args, **dict(req.kwargs)))
+        return entries
+
+    def save_requests(self, path):
+        with open(path, "wb") as f:
+            pickle.dump(self.requests, f)
+
+    def load_requests(self, path):
+        with open(path, "rb") as f:
+            self.requests = pickle.load(f)

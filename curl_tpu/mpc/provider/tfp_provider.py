@@ -1,0 +1,118 @@
+"""Trusted First Party provider: insecure dev dealer (party 0 knows tuples).
+
+Rebuild of the reference TFP provider (reference:
+curl/mpc/provider/tfp_provider.py). Semantics: every tuple is a plaintext
+drawn from party 0's local stream, secret-shared by PRZS with party 0 adding
+the plaintext. Under the single-trace runtimes every party executes the same
+sampling code, but only rank 0's draw enters the share sum — matching the
+reference, where each party's process also runs the sampling locally and
+only src=0's tensor matters.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ... import comm
+from ... import random as rng
+from ... import ring
+from ..primitives.arithmetic import ArithmeticSharedTensor
+from ..primitives.binary import BinarySharedTensor
+from .provider import TupleProvider
+
+
+def _share_from_local(value, precision: int = 0) -> ArithmeticSharedTensor:
+    """PRZS + rank-0 adds `value` (a local plaintext draw)."""
+    share = rng.przs_arithmetic(np.shape(value))
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        share = share + mask * value
+    else:
+        share = share + value
+    return ArithmeticSharedTensor.from_shares(share, precision=precision)
+
+
+def _bshare_from_local(value) -> BinarySharedTensor:
+    share = rng.przs_binary(np.shape(value))
+    if comm.get_world_size() > 1:
+        mask = jnp.where(
+            comm.rank_signed() == 0, jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64(0)
+        )
+        share = share ^ (value & mask)
+    else:
+        share = share ^ value
+    return BinarySharedTensor.from_shares(share)
+
+
+class TrustedFirstParty(TupleProvider):
+    NAME = "TFP"
+
+    def generate_additive_triple(self, size0, size1, op, **kwargs):
+        """Beaver triple (a, b, c=op(a,b)) (tfp_provider.py:20-31)."""
+        a = rng.random_ring(size0, "local")
+        b = rng.random_ring(size1, "local")
+        from ..primitives.beaver import _RING_OPS
+
+        c = _RING_OPS[op](a, b, **kwargs)
+        return (
+            _share_from_local(a),
+            _share_from_local(b),
+            _share_from_local(c),
+        )
+
+    def square(self, size):
+        r = rng.random_ring(size, "local")
+        r2 = r * r
+        return _share_from_local(r), _share_from_local(r2)
+
+    def generate_binary_triple(self, size0, size1):
+        a = rng.random_kbit(size0, 64, "local")
+        b = rng.random_kbit(size1, 64, "local")
+        c = a & b
+        shape = np.broadcast_shapes(tuple(size0), tuple(size1))
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        c = jnp.broadcast_to(c, shape)
+        return (
+            _bshare_from_local(a),
+            _bshare_from_local(b),
+            _bshare_from_local(c),
+        )
+
+    def wrap_rng(self, size):
+        """Random share vector + sharing of its wrap count
+        (tfp_provider.py:55-68). Party 0 draws all P share planes, counts
+        wraps, and scatters plane i to party i."""
+        n = comm.get_world_size()
+        planes = jnp.stack([rng.random_ring(size, "local") for _ in range(n)], 0)
+        theta_r = ring.count_wraps(planes)
+        # scatter plane i to party i (only rank 0's draw is meaningful)
+        my_plane = comm.scatter(planes, src=0)
+        r = ArithmeticSharedTensor.from_shares(my_plane, precision=0)
+        return r, _share_from_local(theta_r)
+
+    def B2A_rng(self, size):
+        r = rng.random_kbit(size, 1, "local")
+        return _share_from_local(r), _bshare_from_local(r)
+
+    def generate_one_hot(self, tensor_size, lut_size: int):
+        """r mod L and its one-hot row per element (tfp_provider.py:80-92)."""
+        r = rng.random_ring(tensor_size, "local")
+        r_clear = jnp.mod(ring.to_signed(r), jnp.int64(lut_size))
+        grid = jnp.arange(lut_size, dtype=jnp.int64)
+        one_hot = (r_clear[..., None] == grid).astype(jnp.uint64)
+        r_shares = _share_from_local(r_clear.view(jnp.uint64))
+        one_hot_shares = _share_from_local(one_hot)
+        return r_shares, one_hot_shares
+
+    def egk_trunc_pr_rng(self, size, l: int, m: int):
+        """(r, r', b) randomness for EGK truncation (tfp_provider.py:94)."""
+        r = rng.random_kbit(size, l - m, "local")
+        r_p = rng.random_kbit(size, m, "local")
+        b = rng.random_kbit(size, 1, "local")
+        return (
+            _share_from_local(r),
+            _share_from_local(r_p),
+            _share_from_local(b),
+        )

@@ -1,0 +1,155 @@
+"""Correlated PRNG streams for MPC parties, JAX-native.
+
+The reference holds four torch Generators per party/device —
+prev/next/local/global (reference: curl/__init__.py:169-267) — seeded by a
+ring exchange (next seed sent to rank+1, received from rank-1) plus a
+broadcast global seed. Consumption is stateful.
+
+TPU-native design: counter-based threefry keys instead of stateful
+generators. Each party carries a pytree of four base keys; every draw derives
+a fresh subkey with ``jax.random.fold_in(base, trace_counter)`` where the
+counter advances at *trace time* (a Python global). Uniqueness within a trace
+is guaranteed by the counter; uniqueness across executions is the caller's
+job — pass a fresh ``seed`` per protocol invocation (standard JAX practice).
+
+Correlation invariants (same as the reference's):
+  keys.next[i] == keys.prev[(i+1) % P]   -> PRZS telescoping sum == 0
+  keys.global identical on all parties   -> shared public randomness
+  keys.local unique per party            -> private randomness
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import comm
+
+GENERATOR_NAMES = ("prev", "next", "local", "global", "ttp", "dealer")
+
+# trace-time draw counter (shared across generators; uniqueness is all that
+# matters, not per-generator sequencing)
+_counter = itertools.count()
+_counter_lock = threading.Lock()
+
+# per-party key pytree, bound by the runtime context (traced values)
+_ctx = threading.local()
+
+
+def _next_count() -> int:
+    with _counter_lock:
+        return next(_counter)
+
+
+class KeyContext:
+    """Binds a party's generator keys for the duration of a protocol trace."""
+
+    def __init__(self, keys: dict):
+        self.keys = keys
+
+    def __enter__(self):
+        self.prev = getattr(_ctx, "keys", None)
+        _ctx.keys = self.keys
+        return self
+
+    def __exit__(self, *exc):
+        _ctx.keys = self.prev
+
+
+def current_keys() -> dict:
+    keys = getattr(_ctx, "keys", None)
+    if keys is None:
+        raise RuntimeError(
+            "no PRNG context bound — run protocol code under curl_tpu "
+            "runtime (init()/run_parties/compile)"
+        )
+    return keys
+
+
+def make_party_keys(seed, world_size: int) -> dict:
+    """Build stacked (P, ...) key pytree with the ring-correlation invariant.
+
+    Host-side analogue of the reference's seed ring-exchange
+    (curl/__init__.py:225-267); on a real multi-host deployment the same
+    structure can be built with one ppermute at init (sync_keys_ppermute).
+    """
+    if isinstance(seed, int):
+        base = jax.random.PRNGKey(seed)
+    else:
+        base = seed
+    k_global, k_ring, k_local, k_ttp, k_dealer = jax.random.split(base, 5)
+    ring = jax.random.split(k_ring, world_size)        # ring[i]: shared by (i, i+1)
+    local = jax.random.split(k_local, world_size)
+    ttp = jax.random.split(k_ttp, world_size)
+    return {
+        # party i's "next" stream is shared with party i+1's "prev" stream
+        "next": ring,
+        "prev": jnp.roll(ring, 1, axis=0),
+        "local": local,
+        "global": jnp.broadcast_to(k_global, (world_size,) + k_global.shape),
+        # TTP provider streams: per-party dealer-shared + the dealer's own
+        "ttp": ttp,
+        "dealer": jnp.broadcast_to(k_dealer, (world_size,) + k_dealer.shape),
+    }
+
+
+def sync_keys_ppermute(seed_local):
+    """SPMD key setup: derive ring keys in-protocol via one ring pass.
+
+    Each party derives its 'next' key locally and sends it to rank+1, which
+    stores it as 'prev' — one ppermute round, mirroring _sync_seeds.
+    """
+    k_next, k_local, k_g = jax.random.split(seed_local, 3)
+    k_prev = comm.ppermute(k_next, shift=1)
+    k_global = comm.broadcast(k_g, src=0)
+    return {"next": k_next, "prev": k_prev, "local": k_local, "global": k_global}
+
+
+def _draw_key(generator: str, count: Optional[int] = None):
+    keys = current_keys()
+    if count is None:
+        count = _next_count()
+    return jax.random.fold_in(keys[generator], count)
+
+
+def random_ring(shape, generator: str = "local", count: Optional[int] = None):
+    """Uniform uint64 ring element (reference: rng.py:12)."""
+    k = _draw_key(generator, count)
+    return jax.random.bits(k, shape, dtype=jnp.uint64)
+
+
+def random_kbit(
+    shape, bitlength: int = 64, generator: str = "local", count: Optional[int] = None
+):
+    """Uniform k-bit uint64 in [0, 2^bitlength) (reference: rng.py:33)."""
+    if bitlength >= 64:
+        return random_ring(shape, generator, count)
+    k = _draw_key(generator, count)
+    bits = jax.random.bits(k, shape, dtype=jnp.uint64)
+    return bits >> jnp.uint64(64 - bitlength)
+
+
+def przs_arithmetic(shape):
+    """Pseudo-random sharing of zero: prev-stream draw minus next-stream draw.
+
+    Telescopes to zero over the party ring (reference: arithmetic.py:158-178).
+    The SAME trace-time counter feeds both draws so that party i's "next"
+    sample equals party i+1's "prev" sample (all parties trace one program,
+    so their counter sequences agree).
+    """
+    c = _next_count()
+    cur = random_ring(shape, "prev", c)
+    nxt = random_ring(shape, "next", c)
+    return cur - nxt
+
+
+def przs_binary(shape, bits: int = 64):
+    """XOR-PRZS for binary shares (reference: binary.py:112-133)."""
+    c = _next_count()
+    cur = random_kbit(shape, bits, "prev", c)
+    nxt = random_kbit(shape, bits, "next", c)
+    return cur ^ nxt
