@@ -1,0 +1,602 @@
+"""Encrypted nn.Module system (reference: curl/nn/module.py:19-3136).
+
+Modules hold parameters as plaintext jnp arrays until ``encrypt(src)``
+converts them to encrypted tensors; ``forward`` is written against the
+shared tensor method surface, so the same module runs:
+
+  * eagerly on CrypTensor inputs (stacked simulated parties), and
+  * traced on per-party MPCTensor inputs inside compile_parties — the
+    parameters pytree (MPCTensor leaves) is vmapped/shard_mapped over the
+    party axis by the runtime.
+
+``functional()`` extracts (apply_fn, params) for the compiled path.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import OrderedDict
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import curl_tpu
+
+
+class Parameter:
+    """Marks an array as a trainable parameter at registration time."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+class Module:
+    """Base module (reference module.py:19)."""
+
+    def __init__(self):
+        self._parameters: "OrderedDict[str, Any]" = OrderedDict()
+        self._buffers: "OrderedDict[str, Any]" = OrderedDict()
+        self._modules: "OrderedDict[str, Module]" = OrderedDict()
+        self.encrypted = False
+        self.training = False
+
+    # -- registration --------------------------------------------------
+    def register_parameter(self, name, value):
+        if isinstance(value, Parameter):
+            value = value.value
+        if hasattr(value, "detach"):  # torch tensor
+            value = jnp.asarray(value.detach().cpu().numpy())
+        self._parameters[name] = value
+
+    def register_buffer(self, name, value):
+        if hasattr(value, "detach"):
+            value = jnp.asarray(value.detach().cpu().numpy())
+        self._buffers[name] = value
+
+    def register_module(self, name, module):
+        self._modules[name] = module
+
+    def __setattr__(self, name, value):
+        if isinstance(value, Parameter):
+            self.register_parameter(name, value)
+        elif isinstance(value, Module) and name not in ("_modules",):
+            if "_modules" not in self.__dict__:
+                object.__setattr__(self, "_modules", OrderedDict())
+            self._modules[name] = value
+        else:
+            object.__setattr__(self, name, value)
+
+    def __getattr__(self, name):
+        for store in ("_parameters", "_buffers", "_modules"):
+            d = self.__dict__.get(store)
+            if d is not None and name in d:
+                return d[name]
+        raise AttributeError(f"{type(self).__name__} has no attribute {name}")
+
+    # -- iteration -------------------------------------------------------
+    def named_modules(self, prefix=""):
+        yield prefix, self
+        for name, m in self._modules.items():
+            sub_prefix = f"{prefix}.{name}" if prefix else name
+            yield from m.named_modules(sub_prefix)
+
+    def modules(self):
+        for _, m in self.named_modules():
+            yield m
+
+    def named_parameters(self, prefix=""):
+        for name, p in self._parameters.items():
+            yield (f"{prefix}.{name}" if prefix else name), p
+        for mname, m in self._modules.items():
+            sub = f"{prefix}.{mname}" if prefix else mname
+            yield from m.named_parameters(sub)
+
+    def parameters(self):
+        for _, p in self.named_parameters():
+            yield p
+
+    # -- encryption (reference module.py:471-509) -------------------------
+    def encrypt(self, mode=True, src=0):
+        if not mode:
+            return self.decrypt()
+        for m in self.modules():
+            for name, p in list(m._parameters.items()):
+                if not curl_tpu.is_encrypted_tensor(p):
+                    m._parameters[name] = curl_tpu.cryptensor(p, src=src)
+            m.encrypted = True
+        return self
+
+    def decrypt(self):
+        for m in self.modules():
+            for name, p in list(m._parameters.items()):
+                if curl_tpu.is_encrypted_tensor(p):
+                    m._parameters[name] = jnp.asarray(p.get_plain_text())
+            m.encrypted = False
+        return self
+
+    def train(self, mode=True):
+        for m in self.modules():
+            m.training = mode
+        return self
+
+    def eval(self):
+        return self.train(False)
+
+    # -- state dict --------------------------------------------------------
+    def state_dict(self, prefix=""):
+        out = {}
+        for name, p in self._parameters.items():
+            out[f"{prefix}{name}"] = p
+        for name, b in self._buffers.items():
+            out[f"{prefix}{name}"] = b
+        for mname, m in self._modules.items():
+            out.update(m.state_dict(prefix=f"{prefix}{mname}."))
+        return out
+
+    def load_state_dict(self, state, strict=True, prefix=""):
+        for name in list(self._parameters):
+            key = f"{prefix}{name}"
+            if key in state:
+                v = state[key]
+                if hasattr(v, "detach"):
+                    v = jnp.asarray(v.detach().cpu().numpy())
+                self._parameters[name] = jnp.asarray(v)
+            elif strict:
+                raise KeyError(key)
+        for name in list(self._buffers):
+            key = f"{prefix}{name}"
+            if key in state:
+                v = state[key]
+                if hasattr(v, "detach"):
+                    v = jnp.asarray(v.detach().cpu().numpy())
+                self._buffers[name] = jnp.asarray(v)
+        for mname, m in self._modules.items():
+            m.load_state_dict(state, strict=strict, prefix=f"{prefix}{mname}.")
+        return self
+
+    # -- functional extraction (compiled path) ------------------------------
+    def params_pytree(self):
+        """Collect parameters (possibly encrypted) as a nested dict."""
+        out = {"__params__": dict(self._parameters)}
+        for name, m in self._modules.items():
+            out[name] = m.params_pytree()
+        return out
+
+    def bind_params(self, tree):
+        """Install a params pytree (e.g. per-party MPCTensor leaves)."""
+        for name, p in tree.get("__params__", {}).items():
+            self._parameters[name] = p
+        for name, m in self._modules.items():
+            if name in tree:
+                m.bind_params(tree[name])
+        return self
+
+    def functional(self):
+        """(apply_fn, params): apply_fn(params, x) binds + runs forward.
+
+        params leaves may be MPCTensor shares; apply_fn is traceable under
+        compile_parties (binding happens at trace time).
+        """
+        params = self.params_pytree()
+        # unwrap eager CrypTensor leaves to their stacked MPCTensor pytrees
+        def unwrap(t):
+            return jax.tree_util.tree_map(
+                lambda x: x.mpc if isinstance(x, curl_tpu.CrypTensor) else x,
+                t,
+                is_leaf=lambda x: isinstance(x, curl_tpu.CrypTensor),
+            )
+
+        params = unwrap(params)
+
+        def apply_fn(p, *inputs):
+            self.bind_params(p)
+            return self.forward(*inputs)
+
+        return apply_fn, params
+
+    # -- call ----------------------------------------------------------------
+    def forward(self, *args, **kwargs):
+        raise NotImplementedError
+
+    def __call__(self, *args, **kwargs):
+        return self.forward(*args, **kwargs)
+
+    # -- training-side helpers (reference module.py:321-347) -----------------
+    def zero_grad(self):
+        for m in self.modules():
+            m._grads = {}
+        return self
+
+    def update_parameters(self, learning_rate, grad_threshold=100):
+        """SGD step over encrypted parameters with grad-explosion guard."""
+        for m in self.modules():
+            grads = getattr(m, "_grads", None)
+            if not grads:
+                continue
+            for name, g in grads.items():
+                p = m._parameters[name]
+                if grad_threshold is not None:
+                    # zero exploded grads: |g| > threshold -> 0
+                    mask = g.square().lt(grad_threshold * grad_threshold)
+                    g = g.mul(mask)
+                m._parameters[name] = p - g.mul(learning_rate)
+        return self
+
+
+class Sequential(Module):
+    """(reference module.py:764)"""
+
+    def __init__(self, *modules):
+        super().__init__()
+        if len(modules) == 1 and isinstance(modules[0], (list, tuple)):
+            modules = tuple(modules[0])
+        for i, m in enumerate(modules):
+            self.register_module(str(i), m)
+
+    def forward(self, x):
+        for m in self._modules.values():
+            x = m(x)
+        return x
+
+    def append(self, module):
+        self.register_module(str(len(self._modules)), module)
+        return self
+
+    def __len__(self):
+        return len(self._modules)
+
+    def __getitem__(self, idx):
+        return list(self._modules.values())[idx]
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+def _kaiming_uniform(key, shape, fan_in):
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound,
+                              dtype=jnp.float64)
+
+
+_init_counter = [0]
+
+
+def _init_key():
+    _init_counter[0] += 1
+    return jax.random.PRNGKey(_init_counter[0] * 7919 + 13)
+
+
+class Linear(Module):
+    """y = x W^T + b (reference module.py:1883)."""
+
+    def __init__(self, in_features, out_features, bias=True):
+        super().__init__()
+        self.in_features = in_features
+        self.out_features = out_features
+        self.register_parameter(
+            "weight", _kaiming_uniform(_init_key(), (out_features, in_features), in_features)
+        )
+        if bias:
+            self.register_parameter(
+                "bias", _kaiming_uniform(_init_key(), (out_features,), in_features)
+            )
+        else:
+            self._has_bias = False
+
+    def forward(self, x):
+        w = self._parameters["weight"]
+        wt = w.t() if hasattr(w, "t") else w.T
+        out = x.matmul(wt)
+        if "bias" in self._parameters:
+            out = out + self._parameters["bias"]
+        return out
+
+
+class Conv2d(Module):
+    """(reference module.py:2225)"""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, bias=True):
+        super().__init__()
+        if isinstance(kernel_size, int):
+            kernel_size = (kernel_size, kernel_size)
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        fan_in = in_channels // groups * kernel_size[0] * kernel_size[1]
+        self.register_parameter(
+            "weight",
+            _kaiming_uniform(
+                _init_key(),
+                (out_channels, in_channels // groups) + kernel_size,
+                fan_in,
+            ),
+        )
+        if bias:
+            self.register_parameter(
+                "bias", _kaiming_uniform(_init_key(), (out_channels,), fan_in)
+            )
+
+    def forward(self, x):
+        out = x.conv2d(
+            self._parameters["weight"],
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+        if "bias" in self._parameters:
+            b = self._parameters["bias"]
+            b = b.reshape(1, -1, 1, 1) if not curl_tpu.is_encrypted_tensor(b) else b.view(1, -1, 1, 1)
+            out = out + b
+        return out
+
+
+class Conv1d(Module):
+    """(reference module.py:2092)"""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, bias=True):
+        super().__init__()
+        if isinstance(kernel_size, int):
+            kernel_size = (kernel_size,)
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        fan_in = in_channels // groups * kernel_size[0]
+        self.register_parameter(
+            "weight",
+            _kaiming_uniform(
+                _init_key(), (out_channels, in_channels // groups) + kernel_size, fan_in
+            ),
+        )
+        if bias:
+            self.register_parameter(
+                "bias", _kaiming_uniform(_init_key(), (out_channels,), fan_in)
+            )
+
+    def forward(self, x):
+        out = x.conv1d(
+            self._parameters["weight"],
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+        if "bias" in self._parameters:
+            b = self._parameters["bias"]
+            b = b.reshape(1, -1, 1) if not curl_tpu.is_encrypted_tensor(b) else b.view(1, -1, 1)
+            out = out + b
+        return out
+
+
+class ReLU(Module):
+    def forward(self, x):
+        return x.relu()
+
+
+class ReLU6(Module):
+    def forward(self, x):
+        return x.hardtanh(0, 6)
+
+
+class GELU(Module):
+    def forward(self, x):
+        return x.gelu()
+
+
+class SiLU(Module):
+    def forward(self, x):
+        return x.silu()
+
+
+class Sigmoid(Module):
+    def forward(self, x):
+        return x.sigmoid()
+
+
+class Tanh(Module):
+    def forward(self, x):
+        return x.tanh()
+
+
+class Hardtanh(Module):
+    def __init__(self, min_val=-1.0, max_val=1.0):
+        super().__init__()
+        self.min_val = min_val
+        self.max_val = max_val
+
+    def forward(self, x):
+        return x.hardtanh(self.min_val, self.max_val)
+
+
+class Softmax(Module):
+    def __init__(self, dim=-1):
+        super().__init__()
+        self.dim = dim
+
+    def forward(self, x):
+        return x.softmax(self.dim)
+
+
+class LogSoftmax(Module):
+    def __init__(self, dim=-1):
+        super().__init__()
+        self.dim = dim
+
+    def forward(self, x):
+        return x.log_softmax(self.dim)
+
+
+class Dropout(Module):
+    def __init__(self, p=0.5):
+        super().__init__()
+        self.p = p
+
+    def forward(self, x):
+        return x.dropout(p=self.p, training=self.training)
+
+
+class Flatten(Module):
+    def __init__(self, start_dim=1, end_dim=-1):
+        super().__init__()
+        self.start_dim = start_dim
+        self.end_dim = end_dim
+
+    def forward(self, x):
+        return x.flatten(self.start_dim, self.end_dim)
+
+
+class AvgPool2d(Module):
+    def __init__(self, kernel_size, stride=None, padding=0):
+        super().__init__()
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+
+    def forward(self, x):
+        return x.avg_pool2d(self.kernel_size, stride=self.stride, padding=self.padding)
+
+
+class MaxPool2d(Module):
+    def __init__(self, kernel_size, stride=None, padding=0):
+        super().__init__()
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+
+    def forward(self, x):
+        return x.max_pool2d(self.kernel_size, stride=self.stride, padding=self.padding)
+
+
+def layernorm(x, weight, bias, eps=1e-5, dims=1):
+    """(x - mean) * inv_sqrt(var + eps) * weight + bias over trailing dims
+    (reference gradients.py:1956-2031)."""
+    axes = tuple(range(x.dim() - dims, x.dim()))
+    mean = x.mean(axis=axes, keepdim=True)
+    variance = x.var(axis=axes, keepdim=True)
+    inv_var = (variance + eps).inv_sqrt()
+    out = (x - mean) * inv_var
+    return out * weight + bias
+
+
+class LayerNorm(Module):
+    """(reference module.py:2941)"""
+
+    def __init__(self, normalized_shape, eps=1e-5):
+        super().__init__()
+        if isinstance(normalized_shape, int):
+            normalized_shape = (normalized_shape,)
+        self.normalized_shape = tuple(normalized_shape)
+        self.eps = eps
+        self.register_parameter("weight", jnp.ones(self.normalized_shape, jnp.float64))
+        self.register_parameter("bias", jnp.zeros(self.normalized_shape, jnp.float64))
+
+    def forward(self, x):
+        return layernorm(
+            x,
+            self._parameters["weight"],
+            self._parameters["bias"],
+            eps=self.eps,
+            dims=len(self.normalized_shape),
+        )
+
+
+class _BatchNorm(Module):
+    """(reference module.py:2966-3126)"""
+
+    def __init__(self, num_features, eps=1e-5, momentum=0.1):
+        super().__init__()
+        self.num_features = num_features
+        self.eps = eps
+        self.momentum = momentum
+        self.register_parameter("weight", jnp.ones((num_features,), jnp.float64))
+        self.register_parameter("bias", jnp.zeros((num_features,), jnp.float64))
+        self.register_buffer("running_mean", jnp.zeros((num_features,), jnp.float64))
+        self.register_buffer("running_var", jnp.ones((num_features,), jnp.float64))
+
+    def forward(self, x):
+        # channel axis = 1; broadcast stats over other axes
+        shape = [1] * x.dim()
+        shape[1] = self.num_features
+        w = self._parameters["weight"]
+        b = self._parameters["bias"]
+        w = w.view(shape) if curl_tpu.is_encrypted_tensor(w) else w.reshape(shape)
+        b = b.view(shape) if curl_tpu.is_encrypted_tensor(b) else b.reshape(shape)
+        if self.training:
+            axes = tuple(i for i in range(x.dim()) if i != 1)
+            mean = x.mean(axis=axes, keepdim=True)
+            variance = x.var(axis=axes, keepdim=True)
+            inv = (variance + self.eps).inv_sqrt()
+            return (x - mean) * inv * w + b
+        rm = self._buffers["running_mean"].reshape(shape)
+        rv = self._buffers["running_var"].reshape(shape)
+        inv = 1.0 / np.sqrt(np.asarray(rv) + self.eps)
+        return (x - rm) * (np.asarray(inv)) * w + b
+
+
+class BatchNorm1d(_BatchNorm):
+    pass
+
+
+class BatchNorm2d(_BatchNorm):
+    pass
+
+
+class BatchNorm3d(_BatchNorm):
+    pass
+
+
+class GroupNorm(Module):
+    """(reference module.py:3128 — also unimplemented there)"""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError("GroupNorm is not supported")
+
+
+class Embedding(Module):
+    """Private embedding via the one-hot LUT protocol
+    (reference module.py:1998, beaver.evaluate_embed)."""
+
+    def __init__(self, vocab_size, embed_dim):
+        super().__init__()
+        self.vocab_size = vocab_size
+        self.embed_dim = embed_dim
+        self.register_parameter(
+            "weight",
+            jax.random.normal(_init_key(), (vocab_size, embed_dim), jnp.float64),
+        )
+
+    def forward(self, x):
+        return x.evaluate_embed(self._parameters["weight"])
+
+
+class Attention(Module):
+    """Fused multi-head attention block (reference module.py:1968-1996)."""
+
+    def __init__(self, embed_dim, num_heads):
+        super().__init__()
+        assert embed_dim % num_heads == 0, "invalid heads and embedding dimension"
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.search_dim = embed_dim // num_heads
+        self.search = Linear(embed_dim, 3 * embed_dim)
+        self.proj = Linear(embed_dim, embed_dim)
+
+    def forward(self, x):
+        batch_size, seq_len = x.shape[0], x.shape[1]
+        qkv = self.search(x)
+        query, key, value = qkv.split(self.embed_dim, dim=2)
+        query = query.reshape(batch_size, seq_len, self.num_heads, self.search_dim).transpose(1, 2)
+        key = key.reshape(batch_size, seq_len, self.num_heads, self.search_dim).permute(0, 2, 3, 1)
+        value = value.reshape(batch_size, seq_len, self.num_heads, self.search_dim).transpose(1, 2)
+
+        attn = query.matmul(key) / math.sqrt(self.search_dim)
+        attn = attn.softmax(-1)
+        y = attn.matmul(value).transpose(1, 2).reshape(batch_size, seq_len, self.embed_dim)
+        return self.proj(y)

@@ -1,0 +1,44 @@
+"""Test configuration: virtual 8-device CPU platform, x64 enabled.
+
+Mirrors the reference's multiprocess test harness intent
+(reference: test/multiprocess_test_case.py) with the TPU-native testing
+model: simulated parties via vmap on one host, plus shard_map runs over
+virtual CPU devices to validate the real-SPMD code path without chips.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+import curl_tpu
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _init_session():
+    curl_tpu.init(world_size=2, seed=1234)
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(2024)
+
+
+def reinit(world_size=2, seed=None, config=None):
+    """Re-initialize the eager session with different parameters."""
+    import itertools
+
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    if config is not None:
+        base = os.path.join(os.path.dirname(curl_tpu.__file__), "configs")
+        curl_tpu.cfg.load_config(os.path.join(base, config))
+    curl_tpu.init(world_size=world_size, seed=seed)
