@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 2-party GPT-2 private-inference throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "tokens/sec", "vs_baseline": N}
+
+Measures the compiled 2-party forward of the GPT-2 model (embedding via the
+one-hot LUT protocol, 12 pre-LN blocks with private attention + GELU LUTs,
+LM head + private softmax over the vocab) on the available accelerator,
+simulated-party mode (both parties' programs fused into one XLA program).
+
+vs_baseline compares against the reference Curl framework running the same
+2-party GPT-2 forward on this machine's CPU (measured via
+benchmarks/reference_baseline.py when available, else the stored value in
+benchmarks/baseline_measured.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
+SEQ = int(os.environ.get("BENCH_SEQ", "64"))
+MODEL = os.environ.get("BENCH_MODEL", "GPT2")
+FULL = os.environ.get("BENCH_FULL", "1") == "1"
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def main():
+    import jax
+    import numpy as np
+
+    import curl_tpu
+    from curl_tpu import models
+
+    base = os.path.join(os.path.dirname(curl_tpu.__file__), "configs")
+    curl_tpu.cfg.load_config(os.path.join(base, os.environ.get("BENCH_CONFIG", "default.yaml")))
+    curl_tpu.init(world_size=2, seed=11)
+
+    model_cls = getattr(models, MODEL)
+    model = model_cls(seq_len=SEQ, full=FULL)
+    model.encrypt(src=0)
+    apply_fn, params = model.functional()
+
+    rng = np.random.default_rng(0)
+    if FULL:
+        x = rng.integers(0, 1000, size=(BATCH, SEQ)).astype(np.float64)
+        xe = curl_tpu.cryptensor(x, precision=0)
+    else:
+        x = rng.normal(size=(BATCH, SEQ, model.embed_dim))
+        xe = curl_tpu.cryptensor(x)
+
+    step = curl_tpu.compile_parties(apply_fn, world_size=2)
+
+    t0 = time.time()
+    out = step(jax.random.PRNGKey(100), params, xe.mpc)
+    jax.block_until_ready(out.share)
+    compile_time = time.time() - t0
+
+    times = []
+    for i in range(REPS):
+        t0 = time.time()
+        out = step(jax.random.PRNGKey(101 + i), params, xe.mpc)
+        jax.block_until_ready(out.share)
+        times.append(time.time() - t0)
+
+    latency = min(times)
+    tokens_per_sec = BATCH * SEQ / latency
+
+    baseline_tps = None
+    baseline_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks",
+        "baseline_measured.json",
+    )
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            stored = json.load(f)
+        baseline_tps = stored.get("gpt2_2pc_tokens_per_sec_cpu")
+
+    vs_baseline = (tokens_per_sec / baseline_tps) if baseline_tps else None
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{MODEL.lower()}_2pc_private_inference_throughput",
+                "value": round(tokens_per_sec, 4),
+                "unit": "tokens/sec",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "detail": {
+                    "batch": BATCH,
+                    "seq_len": SEQ,
+                    "latency_sec": round(latency, 4),
+                    "compile_sec": round(compile_time, 1),
+                    "full_model": FULL,
+                    "backend": jax.default_backend(),
+                    "baseline_tokens_per_sec": baseline_tps,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,23 @@ from __future__ import annotations
 
 import logging
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: MPC protocol graphs are deep (every
+# sequential round adds compile time) but highly repetitive across runs.
+_cache_dir = _os.environ.get(
+    "CURL_TPU_COMPILE_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "curl_tpu", "xla"),
+)
+if _cache_dir and _cache_dir != "0":
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -194,16 +194,17 @@ class LookupTables:
             self.generate_haar(
                 F.inv_sqrt_lut_max_bits, F.inv_sqrt_haar_size_bits, inv_sqrt, "inv_sqrt_haar"
             )
-            self.generate_haar(
-                F.inv_sqrt_tailored_0_lut_max_bits,
-                F.inv_sqrt_tailored_0_haar_size_bits,
-                inv_sqrt, "inv_sqrt_tailored_haar_0",
-            )
-            self.generate_haar(
-                F.inv_sqrt_tailored_1_lut_max_bits,
-                F.inv_sqrt_tailored_1_haar_size_bits,
-                inv_sqrt, "inv_sqrt_tailored_haar_1",
-            )
+            if "inv_sqrt_tailored_0_lut_max_bits" in F:
+                self.generate_haar(
+                    F.inv_sqrt_tailored_0_lut_max_bits,
+                    F.inv_sqrt_tailored_0_haar_size_bits,
+                    inv_sqrt, "inv_sqrt_tailored_haar_0",
+                )
+                self.generate_haar(
+                    F.inv_sqrt_tailored_1_lut_max_bits,
+                    F.inv_sqrt_tailored_1_haar_size_bits,
+                    inv_sqrt, "inv_sqrt_tailored_haar_1",
+                )
             self.generate_bior(
                 F.inv_sqrt_lut_max_bits, F.inv_sqrt_bior_size_bits, inv_sqrt, "inv_sqrt_bior"
             )

@@ -56,7 +56,7 @@ class Bert(nn.Module):
             pos = pos[:, : x.shape[1], :] if hasattr(pos, "__getitem__") else pos
             x = tok + pos
         x = self.ln(x)
-        x = self.blocks(x)
+        x = nn.module.scan_identical_blocks(self.blocks, x)
         if self.full:
             x = self.fc(x)
             x = self.softmax(x)

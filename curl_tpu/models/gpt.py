@@ -58,7 +58,7 @@ class GPT(nn.Module):
             pos = self._parameters["pos_embed"]
             pos = pos[:, : x.shape[1], :] if hasattr(pos, "__getitem__") else pos
             x = tok + pos
-        x = self.blocks(x)
+        x = nn.module.scan_identical_blocks(self.blocks, x)
         if self.full:
             x = self.ln(x)
             x = self.fc(x)

@@ -109,6 +109,28 @@ def sync_keys_ppermute(seed_local):
     return {"next": k_next, "prev": k_prev, "local": k_local, "global": k_global}
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def fork(i):
+    """Derive an independent key context from a (possibly traced) index.
+
+    Used by scanned/looped protocol code (e.g. lax.scan over transformer
+    blocks): every iteration folds the block index into all generator keys,
+    so correlated streams stay correlated while tuples differ per block —
+    without this, a scanned body would reuse identical Beaver masks across
+    iterations, leaking differences of masked values.
+    """
+    keys = current_keys()
+    forked = {
+        name: jax.random.fold_in(k, i) if name != "__dummy__" else k
+        for name, k in keys.items()
+    }
+    with KeyContext(forked):
+        yield
+
+
 def _draw_key(generator: str, count: Optional[int] = None):
     keys = current_keys()
     if count is None:
