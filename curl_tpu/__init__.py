@@ -59,6 +59,7 @@ from .parallel import Public, compile_parties, mpc_context, run_parties  # noqa:
 from .mpc import MPCTensor, get_default_provider  # noqa: E402
 from .mpc.ptype import ptype  # noqa: E402
 from . import functions  # noqa: E402  (patches ops onto MPCTensor)
+from .autograd import enable_grad, is_grad_enabled, no_grad  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -170,6 +171,9 @@ class CrypTensor:
 
     def __init__(self, mpc: MPCTensor):
         self.mpc = mpc
+        self.requires_grad = False
+        self.grad = None
+        self.grad_fn = None
 
     # -- structure (host-side, no protocol) --------------------------------
     @property
@@ -232,7 +236,25 @@ class CrypTensor:
         if target is None or not callable(target):
             raise AttributeError(f"MPCTensor has no method {name}")
 
+        from . import autograd as _ag
+
         def method(*args, **kwargs):
+            # eager autograd: tape lives at the CrypTensor level so it
+            # survives across per-op vmap dispatches
+            if (
+                name in _ag.FUNCTION_REGISTRY
+                and _ag.is_grad_enabled()
+                and (
+                    getattr(self, "requires_grad", False)
+                    or any(
+                        getattr(a, "requires_grad", False)
+                        for a in args
+                        if isinstance(a, CrypTensor)
+                    )
+                )
+            ):
+                return _ag.apply_function(name, self, *args, **kwargs)
+
             def fn(mpc_self, *inner):
                 return getattr(mpc_self, name)(*inner, **kwargs)
 
@@ -438,3 +460,14 @@ def fill_cache(seed=0):
     cache = TupleCache(entries=entries)
     provider.attach_cache(cache)
     return cache
+
+
+# install autograd dispatch on the per-party MPCTensor (trace-time tape for
+# compiled training steps); the eager CrypTensor routes through the registry
+# in __getattr__ above
+from . import gradients as _gradients  # noqa: E402
+
+_gradients.install()
+cryptensor.__doc__ = (cryptensor.__doc__ or "") + (
+    "\n\nPass requires_grad=True on the returned tensor to enable autograd."
+)

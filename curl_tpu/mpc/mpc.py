@@ -27,11 +27,24 @@ from .ptype import ptype as Ptype
 
 @jax.tree_util.register_pytree_node_class
 class MPCTensor:
-    __slots__ = ("_tensor", "ptype")
+    __slots__ = (
+        "_tensor",
+        "ptype",
+        # autograd tape fields (Python-side, trace-time only; not pytree
+        # children — they do not survive jit boundaries, by design)
+        "requires_grad",
+        "grad",
+        "grad_fn",
+        "grad_output_index",
+        "grad_fn_outputs",
+    )
 
     def __init__(self, tensor, ptype=Ptype.arithmetic):
         self._tensor = tensor
         self.ptype = ptype
+        self.requires_grad = False
+        self.grad = None
+        self.grad_fn = None
 
     def tree_flatten(self):
         return (self._tensor,), (self.ptype,)
