@@ -471,3 +471,8 @@ _gradients.install()
 cryptensor.__doc__ = (cryptensor.__doc__ or "") + (
     "\n\nPass requires_grad=True on the returned tensor to enable autograd."
 )
+
+# subpackages (imported last: they reference the package's own surface)
+from . import nn  # noqa: E402,F401
+from . import optim  # noqa: E402,F401
+from . import models  # noqa: E402,F401

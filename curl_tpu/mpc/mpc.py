@@ -289,6 +289,25 @@ class MPCTensor:
     def __getitem__(self, idx):
         return self._wrap(self._tensor[idx])
 
+    # binary-ptype bitwise ops (passthroughs to BinarySharedTensor)
+    def __xor__(self, y):
+        return self._wrap(self._tensor ^ _unwrap(y))
+
+    def __and__(self, y):
+        return self._wrap(self._tensor & _unwrap(y))
+
+    def __or__(self, y):
+        return self._wrap(self._tensor | _unwrap(y))
+
+    def __invert__(self):
+        return self._wrap(~self._tensor)
+
+    def __lshift__(self, bits):
+        return self._wrap(self._tensor << bits)
+
+    def __rshift__(self, bits):
+        return self._wrap(self._tensor >> bits)
+
     # comparisons via the logic module (patched below by functions.logic)
     def __lt__(self, y):
         return self.lt(y)
