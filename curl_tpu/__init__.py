@@ -137,14 +137,31 @@ def _eager_run(fn, *args):
             in_axes.append(None)
 
     ws = _session.world_size
+    provider = get_default_provider()
+    host_cache = provider._active_cache
 
-    def party_fn(party_keys, *inner):
-        with mpc_context(party_keys, ws):
-            return fn(*inner)
+    if host_cache is None:
+        def party_fn(party_keys, *inner):
+            with mpc_context(party_keys, ws):
+                return fn(*inner)
 
-    out = jax.vmap(
-        party_fn, in_axes=(0,) + tuple(in_axes), axis_name=comm.PARTY_AXIS
-    )(keys, *vals)
+        out = jax.vmap(
+            party_fn, in_axes=(0,) + tuple(in_axes), axis_name=comm.PARTY_AXIS
+        )(keys, *vals)
+    else:
+        from .mpc.provider.provider import TupleCache
+
+        def party_fn(party_keys, cache_entries, *inner):
+            with mpc_context(party_keys, ws):
+                provider.attach_serving_cache(TupleCache(list(cache_entries)))
+                try:
+                    return fn(*inner)
+                finally:
+                    provider.attach_serving_cache(None)
+
+        out = jax.vmap(
+            party_fn, in_axes=(0, 0) + tuple(in_axes), axis_name=comm.PARTY_AXIS
+        )(keys, host_cache.entries, *vals)
     return jax.tree_util.tree_map(
         _wrap_out, out, is_leaf=lambda x: isinstance(x, MPCTensor)
     )

@@ -64,15 +64,36 @@ class TupleCache:
         self.cursor = 0
 
 
+def _make_traced(fname, fn):
+    def wrapper(self, *args, **kwargs):
+        return self._serve_or(fname, lambda: fn(self, *args, **kwargs), args, kwargs)
+
+    wrapper.__name__ = fname
+    wrapper.__wrapped__ = fn
+    return wrapper
+
+
 class TupleProvider:
-    """Base provider with trace/cache interposition."""
+    """Base provider with trace/cache interposition.
+
+    Subclass methods named in TRACEABLE_FUNCTIONS are wrapped automatically
+    (the analogue of the reference's __getattribute__ interposition,
+    provider.py:114-157)."""
 
     NAME: str = "base"
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        for fname in TRACEABLE_FUNCTIONS:
+            fn = cls.__dict__.get(fname)
+            if fn is not None and not hasattr(fn, "__wrapped__"):
+                setattr(cls, fname, _make_traced(fname, fn))
 
     def __init__(self):
         self.tracing: bool = False
         self.requests: List[TupleRequest] = []
         self._active_cache: Optional[TupleCache] = None
+        self._serving_cache: Optional[TupleCache] = None
 
     # -- trace / cache management (reference provider.py:28-157) -----------
     def trace(self, tracing: bool = True):
@@ -88,13 +109,21 @@ class TupleProvider:
         )
 
     def attach_cache(self, cache: Optional[TupleCache]):
+        """Host-side: store the party-stacked prefilled entries. The runtime
+        feeds them into each traced program as vmapped arguments and binds a
+        per-party serving view via attach_serving_cache."""
         self._active_cache = cache
         if cache is not None:
             cache.reset()
 
+    def attach_serving_cache(self, cache: Optional[TupleCache]):
+        """Trace-side: bind per-party cache views for the current trace."""
+        self._serving_cache = cache
+
     def _serve_or(self, func_name, generate_fn, args, kwargs):
-        if self._active_cache is not None:
-            return self._active_cache.pop()
+        serving = getattr(self, "_serving_cache", None)
+        if serving is not None:
+            return serving.pop()
         if self.tracing:
             self.record_request(func_name, args, kwargs)
         return generate_fn()
@@ -106,9 +135,14 @@ class TupleProvider:
         result in a TupleCache; feed that cache to the online step.
         """
         entries = []
-        for req in self.requests:
-            fn = getattr(self, req.func)
-            entries.append(fn(*req.args, **dict(req.kwargs)))
+        was_tracing = self.tracing
+        self.tracing = False
+        try:
+            for req in self.requests:
+                fn = getattr(self, req.func)
+                entries.append(fn(*req.args, **dict(req.kwargs)))
+        finally:
+            self.tracing = was_tracing
         return entries
 
     def save_requests(self, path):

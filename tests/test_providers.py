@@ -1,0 +1,108 @@
+"""Provider & protocol variants: TTP, replicated (3PC RSS), active
+security, tuple trace/cache (parity scope: reference test_mpc.py TestTTP /
+TestRSS / cache tests)."""
+
+import numpy as np
+import pytest
+
+import curl_tpu
+from conftest import reinit
+
+
+def enc(x, **kw):
+    return curl_tpu.cryptensor(np.asarray(x, dtype=np.float64), **kw)
+
+
+@pytest.fixture
+def restore_cfg():
+    yield
+    curl_tpu.cfg.set("mpc.provider", "TFP")
+    curl_tpu.cfg.set("mpc.protocol", "beaver")
+    curl_tpu.cfg.set("mpc.active_security", False)
+    curl_tpu.mpc.set_default_provider("TFP")
+    reinit(world_size=2)
+
+
+def test_ttp_provider_mul(rng, restore_cfg):
+    curl_tpu.mpc.set_default_provider("TTP")
+    reinit(world_size=2)
+    x = rng.normal(size=(5,)) * 3
+    y = rng.normal(size=(5,)) * 3
+    out = (enc(x) * enc(y)).get_plain_text()
+    np.testing.assert_allclose(out, x * y, atol=0.02)
+
+
+def test_ttp_provider_matmul_and_lut(rng, restore_cfg):
+    curl_tpu.mpc.set_default_provider("TTP")
+    reinit(world_size=3)
+    a = rng.normal(size=(3, 4))
+    b = rng.normal(size=(4, 2))
+    out = enc(a).matmul(enc(b)).get_plain_text()
+    np.testing.assert_allclose(out, a @ b, atol=0.05)
+    x = np.linspace(-2, 2, 9)
+    got = enc(x).gelu().get_plain_text()
+    import math
+
+    ref = x * (1 + np.vectorize(math.erf)(x / math.sqrt(2))) / 2
+    np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_replicated_protocol_3pc(rng, restore_cfg):
+    curl_tpu.cfg.set("mpc.protocol", "replicated")
+    reinit(world_size=3)
+    x = rng.normal(size=(6,)) * 2
+    y = rng.normal(size=(6,)) * 2
+    np.testing.assert_allclose(
+        (enc(x) * enc(y)).get_plain_text(), x * y, atol=0.05
+    )
+    a = rng.normal(size=(3, 4))
+    b = rng.normal(size=(4, 2))
+    np.testing.assert_allclose(
+        enc(a).matmul(enc(b)).get_plain_text(), a @ b, atol=0.05
+    )
+    np.testing.assert_allclose(
+        enc(x).square().get_plain_text(), x * x, atol=0.05
+    )
+
+
+def test_active_security_accepts_honest_triples(rng, restore_cfg):
+    curl_tpu.cfg.set("mpc.active_security", True)
+    reinit(world_size=2)
+    x = rng.normal(size=(4,))
+    y = rng.normal(size=(4,))
+    out = (enc(x) * enc(y)).get_plain_text()
+    np.testing.assert_allclose(out, x * y, atol=0.02)
+
+
+def test_tuple_trace_and_cache(rng, restore_cfg):
+    reinit(world_size=2)
+    provider = curl_tpu.get_default_provider()
+    provider.requests = []
+    x = rng.normal(size=(4,))
+    y = rng.normal(size=(4,))
+
+    curl_tpu.trace(True)
+    _ = (enc(x) * enc(y)).get_plain_text()
+    curl_tpu.trace(False)
+    assert len(provider.requests) >= 1
+    assert any(r.func == "generate_additive_triple" for r in provider.requests)
+
+    cache = curl_tpu.fill_cache(seed=3)
+    assert len(cache.entries) == len(provider.requests)
+
+    out = (enc(x) * enc(y)).get_plain_text()
+    np.testing.assert_allclose(out, x * y, atol=0.02)
+    provider.attach_cache(None)
+    provider.requests = []
+
+
+def test_comm_stats_counting(rng):
+    reinit(world_size=2)
+    curl_tpu.reset_communication_stats()
+    x = enc(rng.normal(size=(4,)))
+    y = enc(rng.normal(size=(4,)))
+    _ = (x * y).get_plain_text()
+    stats = curl_tpu.comm.comm_stats
+    assert stats.rounds >= 1
+    assert stats.bytes > 0
+    assert "all_sum" in stats.calls
