@@ -9,6 +9,12 @@ virtual CPU devices to validate the real-SPMD code path without chips.
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# keep the CPU-test compilation cache separate from the TPU cache (machine
+# feature mismatch otherwise spams AOT-loader warnings)
+os.environ.setdefault(
+    "CURL_TPU_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "curl_tpu", "xla-cpu"),
+)
 
 import jax
 
