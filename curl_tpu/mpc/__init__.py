@@ -23,3 +23,10 @@ def set_default_provider(name: str):
 
 
 from .mpc import MPCTensor  # noqa: E402,F401
+from .context import run_multiprocess  # noqa: E402,F401
+
+
+def ttp_required():
+    """True when the configured provider needs the TTP dealer streams
+    (reference curl/mpc/__init__.py ttp_required)."""
+    return cfg.mpc.provider == "TTP"

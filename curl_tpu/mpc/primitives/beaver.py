@@ -287,8 +287,15 @@ def evaluate_embed(x, embed_share):
     j = jnp.arange(size, dtype=jnp.int32)[None, :]
     idx = jnp.mod(j - shift[:, None], size)
     rotated = jnp.take_along_axis(one_hot_r.share, idx, axis=1)
-    lookup = ring.matmul(rotated, embed_share)
-    return ArithmeticSharedTensor(lookup.reshape(shape), FixedPointEncoder(0))
+    # private x private matmul: the rotated one-hot and the embedding matrix
+    # are both secret-shared -> Beaver matmul (reference beaver.py:328 runs
+    # the same through ArithmeticSharedTensor.matmul)
+    from .arithmetic import _get_protocol
+
+    rotated_t = ArithmeticSharedTensor(rotated, FixedPointEncoder(0))
+    embed_t = ArithmeticSharedTensor(embed_share, FixedPointEncoder(0))
+    lookup = _get_protocol().matmul(rotated_t, embed_t)
+    return ArithmeticSharedTensor(lookup.share.reshape(shape), FixedPointEncoder(0))
 
 
 # ---------------------------------------------------------------------------

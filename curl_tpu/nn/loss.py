@@ -31,11 +31,15 @@ class L1Loss(_Loss):
 
 
 class BCELoss(_Loss):
-    """-mean [y log x + (1-y) log(1-x)] (loss.py:69)."""
+    """-mean [y log x + (1-y) log(1-x)] (loss.py:69).
+
+    Uses log(input_in_01=True) so probabilities are shifted into the
+    accurate region of the log LUT (the reference evaluates the raw LUT in
+    its coarse first cell here)."""
 
     def forward(self, x, y):
-        log_pos = x.log()
-        log_neg = (x.neg() + 1).log()
+        log_pos = x.log(input_in_01=True)
+        log_neg = (x.neg() + 1).log(input_in_01=True)
         ce = y.mul(log_pos) + (y.neg() + 1).mul(log_neg) if hasattr(y, "mul") else (
             log_pos.mul(y) + log_neg.mul(1 - jnp.asarray(y))
         )
