@@ -33,13 +33,15 @@ class L1Loss(_Loss):
 class BCELoss(_Loss):
     """-mean [y log x + (1-y) log(1-x)] (loss.py:69).
 
-    Uses log(input_in_01=True) so probabilities are shifted into the
-    accurate region of the log LUT (the reference evaluates the raw LUT in
-    its coarse first cell here)."""
+    Probabilities are shifted by x32 into the accurate interior of the log
+    LUT domain [0, 64] before the lookup (log x = log 32x - log 32); the
+    reference evaluates the raw LUT in its coarse first cell here."""
+
+    _LN32 = 3.4657359027997265
 
     def forward(self, x, y):
-        log_pos = x.log(input_in_01=True)
-        log_neg = (x.neg() + 1).log(input_in_01=True)
+        log_pos = x.mul(32).log() - self._LN32
+        log_neg = (x.neg() + 1).mul(32).log() - self._LN32
         ce = y.mul(log_pos) + (y.neg() + 1).mul(log_neg) if hasattr(y, "mul") else (
             log_pos.mul(y) + log_neg.mul(1 - jnp.asarray(y))
         )
