@@ -1,2 +1,3 @@
 from .gpt import GPT, GPT2, GPTNeo, GPTNeoLarge  # noqa: F401
+from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101  # noqa: F401
 from .bert import Bert, BertTiny, BertBase, BertLarge  # noqa: F401

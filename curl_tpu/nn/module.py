@@ -60,12 +60,18 @@ class Module:
 
     def __setattr__(self, name, value):
         if isinstance(value, Parameter):
+            self.__dict__.pop(name, None)
             self.register_parameter(name, value)
         elif isinstance(value, Module) and name not in ("_modules",):
             if "_modules" not in self.__dict__:
                 object.__setattr__(self, "_modules", OrderedDict())
+            # drop a plain attribute of the same name (e.g. a None
+            # placeholder) so it cannot shadow the registered module
+            self.__dict__.pop(name, None)
             self._modules[name] = value
         else:
+            if "_modules" in self.__dict__ and name in self._modules:
+                del self._modules[name]
             object.__setattr__(self, name, value)
 
     def __getattr__(self, name):
