@@ -35,6 +35,10 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# allow forcing a platform (e.g. CURL_TPU_PLATFORM=cpu for host-only runs)
+if _os.environ.get("CURL_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["CURL_TPU_PLATFORM"])
+
 # Persistent XLA compilation cache: MPC protocol graphs are deep (every
 # sequential round adds compile time) but highly repetitive across runs.
 _cache_dir = _os.environ.get(
