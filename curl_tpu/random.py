@@ -70,6 +70,24 @@ def current_keys() -> dict:
     return keys
 
 
+def _prng_impl() -> str:
+    """PRNG implementation for the correlated streams.
+
+    threefry2x32 (default): JAX's counter-based PRF — sound under vmap
+    (every party lane derives from its own key) and cryptographically
+    justified for MPC masks. NOTE: "rbg" (XLA RngBitGenerator) was
+    evaluated for its ~2x smaller HLO footprint but is NOT sound here —
+    its batching rule loses per-lane key dependence under vmap, which
+    silently breaks the PRZS correlation invariant.
+    """
+    from .config import cfg
+
+    try:
+        return cfg.mpc.prng_impl or "threefry2x32"
+    except AttributeError:
+        return "threefry2x32"
+
+
 def make_party_keys(seed, world_size: int) -> dict:
     """Build stacked (P, ...) key pytree with the ring-correlation invariant.
 
@@ -78,7 +96,7 @@ def make_party_keys(seed, world_size: int) -> dict:
     structure can be built with one ppermute at init (sync_keys_ppermute).
     """
     if isinstance(seed, int):
-        base = jax.random.PRNGKey(seed)
+        base = jax.random.key(seed, impl=_prng_impl())
     else:
         base = seed
     k_global, k_ring, k_local, k_ttp, k_dealer = jax.random.split(base, 5)
