@@ -111,8 +111,9 @@ def print_communication_stats():
 # ---------------------------------------------------------------------------
 
 def _tree_count(name, tree):
-    for leaf in jax.tree_util.tree_leaves(tree):
-        _count(name, leaf)
+    # one round per collective invocation (a batched reveal is ONE round,
+    # matching the reference's reveal_batch accounting); bytes sum leaves
+    _count(name, *jax.tree_util.tree_leaves(tree))
 
 
 def all_sum(x):
