@@ -51,7 +51,18 @@ def main():
         x = rng.normal(size=(BATCH, SEQ, model.embed_dim))
         xe = curl_tpu.cryptensor(x)
 
-    step = curl_tpu.compile_parties(apply_fn, world_size=2)
+    cached_mode = os.environ.get("BENCH_CACHE", "0") == "1"
+    if cached_mode:
+        # offline/online split: tuple generation leaves the online program
+        # (the reference's --with_cache mode)
+        online, fill = curl_tpu.compile_parties_cached(
+            apply_fn, 2, 99, params, xe.mpc
+        )
+        cache = fill(jax.random.PRNGKey(98))
+        jax.block_until_ready(cache)
+        step = lambda key, p, xm: online(key, cache, p, xm)  # noqa: E731
+    else:
+        step = curl_tpu.compile_parties(apply_fn, world_size=2)
 
     t0 = time.time()
     out = step(jax.random.PRNGKey(100), params, xe.mpc)
@@ -94,6 +105,7 @@ def main():
                     "latency_sec": round(latency, 4),
                     "compile_sec": round(compile_time, 1),
                     "full_model": FULL,
+                    "tuple_cache": os.environ.get("BENCH_CACHE", "0") == "1",
                     "backend": jax.default_backend(),
                     "baseline_tokens_per_sec": baseline_tps,
                 },

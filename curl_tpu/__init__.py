@@ -59,7 +59,13 @@ from . import comm  # noqa: E402
 from . import ring  # noqa: E402
 from . import random as _rng  # noqa: E402
 from .encoder import FixedPointEncoder  # noqa: E402
-from .parallel import Public, compile_parties, mpc_context, run_parties  # noqa: E402
+from .parallel import (  # noqa: E402
+    Public,
+    compile_parties,
+    compile_parties_cached,
+    mpc_context,
+    run_parties,
+)
 from .mpc import MPCTensor, get_default_provider  # noqa: E402
 from .mpc.ptype import ptype  # noqa: E402
 from . import functions  # noqa: E402  (patches ops onto MPCTensor)

@@ -1,4 +1,5 @@
 from .runner import (  # noqa: F401
+    compile_parties_cached,
     Public,
     compile_parties,
     mpc_context,

@@ -111,6 +111,84 @@ def compile_parties(fn, world_size: int, jit: bool = True):
     return jax.jit(wrapper) if jit else wrapper
 
 
+def compile_parties_cached(fn, world_size: int, seed, *args):
+    """Offline/online split compilation (the reference's tuple-cache mode,
+    curl/mpc/provider/provider.py:47-157, as a two-program pipeline):
+
+      1. trace `fn` once recording every tuple request,
+      2. compile + run the offline program generating all tuples
+         (the dealer phase — can run ahead of time / on the dealer's host),
+      3. compile the online program taking the tuple stream as an argument.
+
+    Returns (online_step, fill_offline) where:
+      online_step(seed, cache_entries, *stacked_args) -> stacked outputs
+      fill_offline(seed) -> cache_entries   (jit-compiled offline program)
+    """
+    from ..mpc import get_default_provider
+
+    provider = get_default_provider()
+
+    # 1. record requests with a throwaway trace
+    provider.requests = []
+    provider.trace(True)
+    try:
+        jax.eval_shape(
+            lambda s, *a: _run_with_keys(fn, world_size, s, list(a)),
+            rng.make_party_keys(seed, world_size),
+            *[a for a in args],
+        )
+    finally:
+        provider.trace(False)
+
+    requests = list(provider.requests)
+
+    # 2. offline program: generate all recorded tuples
+    def offline(s):
+        keys = rng.make_party_keys(s, world_size)
+
+        def party_fn(party_keys):
+            with mpc_context(party_keys, world_size):
+                provider.requests = requests
+                return provider.fill_cache_entries()
+
+        return jax.vmap(party_fn, axis_name=comm.PARTY_AXIS)(keys)
+
+    fill_offline = jax.jit(offline)
+
+    # 3. online program: serve tuples from the cache argument
+    def online(s, cache_entries, *online_args):
+        from ..mpc.provider.provider import TupleCache
+
+        keys = rng.make_party_keys(s, world_size)
+        vals, in_axes = _split_args(online_args)
+
+        def party_fn(party_keys, entries, *inner):
+            with mpc_context(party_keys, world_size):
+                provider.attach_serving_cache(TupleCache(list(entries)))
+                try:
+                    return fn(*inner)
+                finally:
+                    provider.attach_serving_cache(None)
+
+        return jax.vmap(
+            party_fn, in_axes=(0, 0) + tuple(in_axes), axis_name=comm.PARTY_AXIS
+        )(keys, cache_entries, *vals)
+
+    return jax.jit(online), fill_offline
+
+
+def _run_with_keys(fn, world_size, keys, args):
+    vals, in_axes = _split_args(args)
+
+    def party_fn(party_keys, *inner):
+        with mpc_context(party_keys, world_size):
+            return fn(*inner)
+
+    return jax.vmap(
+        party_fn, in_axes=(0,) + tuple(in_axes), axis_name=comm.PARTY_AXIS
+    )(keys, *vals)
+
+
 def shard_map_parties(fn, mesh, world_size: int):
     """Bind ``fn`` over the 'party' axis of ``mesh`` with shard_map.
 
