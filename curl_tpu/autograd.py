@@ -250,6 +250,18 @@ def backward(tensor, grad_input=None):
             t.grad = grads[id(t)]
 
 
+_OPERATOR_ALIASES = {
+    "__add__": "add",
+    "__radd__": "add",
+    "__sub__": "sub",
+    "__mul__": "mul",
+    "__rmul__": "mul",
+    "__matmul__": "matmul",
+    "__truediv__": "div",
+    "__neg__": "neg",
+}
+
+
 def install_autograd(cls):
     """Wrap registered ops on a tensor class with autograd dispatch, and add
     requires_grad/backward surface."""
@@ -257,6 +269,17 @@ def install_autograd(cls):
         plain = getattr(cls, name, None)
         if plain is not None and callable(plain):
             _wrap_method(cls, name, plain)
+
+    # re-bind operator dunders: `__add__ = add` aliases captured the plain
+    # method at class creation and would silently bypass the tape
+    for dunder, target in _OPERATOR_ALIASES.items():
+        if hasattr(cls, dunder) and target in FUNCTION_REGISTRY:
+
+            def _op(self, *args, _t=target):
+                return getattr(self, _t)(*args)
+
+            _op.__name__ = dunder
+            setattr(cls, dunder, _op)
 
     if getattr(cls, "__slots__", None) is not None and not hasattr(
         cls, "requires_grad"
