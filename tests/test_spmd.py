@@ -45,7 +45,8 @@ def test_shard_map_matches_vmap():
     ref = np.maximum(a * b + a, 0)
     np.testing.assert_allclose(dec_v, ref, atol=0.02)
     np.testing.assert_allclose(dec_s, ref, atol=0.02)
-    np.testing.assert_array_equal(np.asarray(out_vmap.share), np.asarray(out_spmd.share))
+    # raw shares are NOT compared: each trace advances the global trace-time
+    # PRNG counter, so the two programs draw different (equally valid) masks
 
 
 def test_party_by_data_mesh():
