@@ -21,7 +21,7 @@ import sys
 import time
 
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
-SEQ = int(os.environ.get("BENCH_SEQ", "64"))
+SEQ = int(os.environ.get("BENCH_SEQ", "32"))
 MODEL = os.environ.get("BENCH_MODEL", "GPT2")
 FULL = os.environ.get("BENCH_FULL", "1") == "1"
 REPS = int(os.environ.get("BENCH_REPS", "3"))
@@ -88,7 +88,10 @@ def main():
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
             stored = json.load(f)
-        baseline_tps = stored.get("gpt2_2pc_tokens_per_sec_cpu")
+        # prefer a baseline measured at the same sequence length
+        baseline_tps = stored.get(
+            f"{MODEL.lower()}_seq{SEQ}_2pc_tokens_per_sec_cpu"
+        ) or stored.get(f"{MODEL.lower()}_2pc_tokens_per_sec_cpu")
 
     vs_baseline = (tokens_per_sec / baseline_tps) if baseline_tps else None
 

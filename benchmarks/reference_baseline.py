@@ -113,6 +113,9 @@ def main():
             stored = json.load(f)
     key = f"{result['model'].lower()}_2pc_tokens_per_sec_cpu"
     stored[key] = result["tokens_per_sec"]
+    stored[f"{result['model'].lower()}_seq{result['seq']}_2pc_tokens_per_sec_cpu"] = (
+        result["tokens_per_sec"]
+    )
     stored[f"{result['model'].lower()}_detail"] = result
     with open(out_path, "w") as f:
         json.dump(stored, f, indent=2)
