@@ -36,7 +36,7 @@ def argmin(self, dim=None, keepdim=False, one_hot=True):
 def max(self, dim=None, keepdim=False, one_hot=True):
     method = cfg.functions.max_method
     if dim is None:
-        if method in ["log_reduction", "double_log_reduction"]:
+        if method in ["log_reduction", "double_log_reduction", "scan_reduction"]:
             return _max_helper_all_tree_reductions(self, method=method)
         argmax_result = self.argmax(one_hot=True)
         return self.mul(argmax_result).sum()
@@ -163,6 +163,63 @@ def _max_helper_accelerated_cascade(enc_tensor, dim=None):
     return _max_helper_double_log_reduction(reduced, dim=dim_used)
 
 
+def _max_helper_scan_reduction(enc_tensor, dim=None):
+    """TPU-first butterfly tournament under lax.scan.
+
+    Protocol-equivalent to log_reduction (same comparison primitive, log2 n
+    sequential rounds) but every round has an identical fixed shape, so the
+    whole reduction traces ONCE — the XLA graph is ~log2(n)x smaller than
+    the unrolled halving tree, which is what makes vocab-sized softmax
+    compile. Lanes beyond the live prefix do masked dummy work (negligible
+    on the VPU). Fresh protocol randomness per round via rng.fork.
+    """
+    import jax
+    from jax import lax
+
+    from .. import random as _rng
+
+    if enc_tensor.dim() == 0:
+        return enc_tensor
+    inp, dim_used = enc_tensor, dim
+    if dim is None:
+        dim_used = 0
+        inp = enc_tensor.flatten()
+    dim_used = dim_used + inp.dim() if dim_used < 0 else dim_used
+
+    # move reduce axis last (preserving the order of the remaining axes)
+    # and pad to a power of two with a very negative public constant
+    if dim_used != inp.dim() - 1:
+        perm = [i for i in range(inp.dim()) if i != dim_used] + [dim_used]
+        x = inp.permute(*perm)
+    else:
+        x = inp
+    n = x.size(x.dim() - 1)
+    # NB: this module's `max` is the MPC reduction — use math for the scalar
+    k = int(math.ceil(math.log2(n))) if n > 1 else 1
+    padded = 1 << k
+    if padded != n:
+        x = x.pad((0, padded - n), value=-(2 ** 24))
+
+    strides = jnp.array([padded >> (i + 1) for i in range(k)], dtype=jnp.int32)
+
+    def body(carry, inputs):
+        stride, idx = inputs
+        with _rng.fork(idx):
+            rolled = carry.roll(-stride, dims=carry.dim() - 1)
+            keep = carry.ge(rolled)
+            new = carry.mul(keep).add(rolled.mul(keep.neg().add(1)))
+        return new, None
+
+    out, _ = lax.scan(body, x, (strides, jnp.arange(k)))
+    # max now lives in lane 0 of the last axis
+    idxr = [slice(None)] * out.dim()
+    idxr[out.dim() - 1] = 0
+    result = out[tuple(idxr)]
+    # remaining axes are already in the original order (reduce axis was
+    # moved to the end with a stable permutation)
+    return result
+
+
 def _max_helper_all_tree_reductions(enc_tensor, dim=None, method="log_reduction"):
     if method == "log_reduction":
         return _max_helper_log_reduction(enc_tensor, dim)
@@ -170,6 +227,8 @@ def _max_helper_all_tree_reductions(enc_tensor, dim=None, method="log_reduction"
         return _max_helper_double_log_reduction(enc_tensor, dim)
     if method == "accelerated_cascade":
         return _max_helper_accelerated_cascade(enc_tensor, dim)
+    if method == "scan_reduction":
+        return _max_helper_scan_reduction(enc_tensor, dim)
     raise RuntimeError("Unknown max method")
 
 
@@ -188,7 +247,8 @@ def _argmax_helper(enc_tensor, dim=None, one_hot=True, method="pairwise", _retur
     updated = enc_tensor.flatten() if dim is None else enc_tensor
     if method == "pairwise":
         result_args, result_val = _argmax_helper_pairwise(updated, dim)
-    elif method in ("log_reduction", "double_log_reduction", "accelerated_cascade"):
+    elif method in ("log_reduction", "double_log_reduction",
+                    "accelerated_cascade", "scan_reduction"):
         result_args, result_val = _argmax_helper_all_tree_reductions(updated, dim, method)
     else:
         raise RuntimeError("Unknown argmax method")
