@@ -36,6 +36,10 @@ def main():
 
     base = os.path.join(os.path.dirname(curl_tpu.__file__), "configs")
     curl_tpu.cfg.load_config(os.path.join(base, os.environ.get("BENCH_CONFIG", "default.yaml")))
+    if os.environ.get("BENCH_SCAN_MAX", "0") == "1":
+        # fixed-shape scan tournament: ~log2(n)x smaller XLA graph for the
+        # vocab softmax (protocol-equivalent rounds; see functions/maximum.py)
+        curl_tpu.cfg.set("functions.max_method", "scan_reduction")
     curl_tpu.init(world_size=2, seed=11)
 
     model_cls = getattr(models, MODEL)
