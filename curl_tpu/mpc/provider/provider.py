@@ -152,3 +152,35 @@ class TupleProvider:
     def load_requests(self, path):
         with open(path, "rb") as f:
             self.requests = pickle.load(f)
+
+    # -- cache persistence (reference provider.py:62-112) -------------------
+    def save_cache(self, path):
+        """Persist prefilled tuple entries (the offline-phase checkpoint)."""
+        import jax
+        import numpy as np
+
+        if self._active_cache is None:
+            raise RuntimeError("no active cache to save")
+        leaves, treedef = jax.tree_util.tree_flatten(self._active_cache.entries)
+        np.savez(
+            path,
+            *[np.asarray(leaf) for leaf in leaves],
+            __treedef__=np.frombuffer(
+                pickle.dumps(treedef), dtype=np.uint8
+            ),
+        )
+
+    def load_cache(self, path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+        treedef = pickle.loads(bytes(data["__treedef__"]))
+        leaves = [
+            jnp.asarray(data[k]) for k in data.files if k != "__treedef__"
+        ]
+        entries = jax.tree_util.tree_unflatten(treedef, leaves)
+        cache = TupleCache(entries=entries)
+        self.attach_cache(cache)
+        return cache
