@@ -503,3 +503,24 @@ cryptensor.__doc__ = (cryptensor.__doc__ or "") + (
 from . import nn  # noqa: E402,F401
 from . import optim  # noqa: E402,F401
 from . import models  # noqa: E402,F401
+
+
+def init_thread(rank=None, world_size: int = 2, seed: int = 0):
+    """Reference-parity alias (curl/__init__.py:84): the thread-based
+    in-process mode maps to the vmapped simulated-party runtime."""
+    return init(world_size=world_size, seed=seed)
+
+
+def print(*args, dst=0, **kwargs):  # noqa: A001 - parity with curl.print
+    """Rank-aware print (reference curl/__init__.py:539): in the fused
+    simulated-party runtime there is one host process, which plays the
+    `dst` role."""
+    import builtins
+
+    builtins.print(*args, **kwargs)
+
+
+def print_in_order(*args, **kwargs):
+    import builtins
+
+    builtins.print(*args, **kwargs)
