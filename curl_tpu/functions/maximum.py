@@ -158,7 +158,10 @@ def _max_helper_accelerated_cascade(enc_tensor, dim=None):
         with cfg.temp_override({"functions.max_method": "pairwise"}):
             enc_max, _ = enc_tensor.max(dim=dim_used)
         return enc_max
-    steps = int(math.log(max(math.log(max(math.log(n), 1)), 1))) + 1
+    # builtins.max explicitly: this module's `max` is the MPC reduction
+    import builtins
+
+    steps = int(math.log(builtins.max(math.log(builtins.max(math.log(n), 1)), 1))) + 1
     reduced = _compute_pairwise_comparisons_for_steps(enc_tensor, dim_used, steps)
     return _max_helper_double_log_reduction(reduced, dim=dim_used)
 

@@ -144,7 +144,7 @@ def test_log_softmax():
 
 # -- max/argmax reductions ---------------------------------------------------
 
-@pytest.mark.parametrize("method", ["pairwise", "log_reduction"])
+@pytest.mark.parametrize("method", ["pairwise", "log_reduction", "double_log_reduction", "accelerated_cascade", "scan_reduction"])
 def test_max_argmax(method):
     rng = np.random.default_rng(9)
     x = rng.normal(size=(4, 7)) * 5
