@@ -21,7 +21,7 @@ import sys
 import time
 
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
-SEQ = int(os.environ.get("BENCH_SEQ", "32"))
+SEQ = int(os.environ.get("BENCH_SEQ", "64"))
 MODEL = os.environ.get("BENCH_MODEL", "GPT2")
 FULL = os.environ.get("BENCH_FULL", "1") == "1"
 REPS = int(os.environ.get("BENCH_REPS", "3"))
@@ -36,7 +36,7 @@ def main():
 
     base = os.path.join(os.path.dirname(curl_tpu.__file__), "configs")
     curl_tpu.cfg.load_config(os.path.join(base, os.environ.get("BENCH_CONFIG", "default.yaml")))
-    if os.environ.get("BENCH_SCAN_MAX", "0") == "1":
+    if os.environ.get("BENCH_SCAN_MAX", "1") == "1":
         # fixed-shape scan tournament: ~log2(n)x smaller XLA graph for the
         # vocab softmax (protocol-equivalent rounds; see functions/maximum.py)
         curl_tpu.cfg.set("functions.max_method", "scan_reduction")

@@ -121,7 +121,7 @@ def _structure_ops():
     def take(self, index, dimension=None):
         if dimension is None:
             return self.with_share(self.share.reshape(-1)[jnp.asarray(index)])
-        return index_select_impl(self, dimension, index)
+        return index_select(self, dimension, index)
 
     def repeat(self, *reps):
         if len(reps) == 1 and isinstance(reps[0], (tuple, list)):
@@ -178,7 +178,6 @@ def _structure_ops():
             self.with_share(jnp.take(self.share, i, axis=dim)) for i in range(n)
         ]
 
-    index_select_impl = index_select
     return {
         "view": view,
         "reshape": reshape,
@@ -207,7 +206,6 @@ def _structure_ops():
 
 
 _OPS = _structure_ops()
-split = _OPS["split"]  # used by chunk closure above
 
 for _cls in (ArithmeticSharedTensor, BinarySharedTensor):
     for _name, _fn in _OPS.items():

@@ -844,25 +844,10 @@ class AutogradAvgPool2d(AutogradFunction):
 
     @staticmethod
     def backward(ctx, grad):
-        shape, k, s, p = ctx.saved_tensors
-        n = k[0] * k[1]
-        # distribute each output grad uniformly over its window
-        out = _zeros_like_with(grad, shape)
-        gs = grad.div(n)
-        for i in range(_shape_of(grad)[-2]):
-            for j in range(_shape_of(grad)[-1]):
-                window = gs[..., i : i + 1, j : j + 1]
-                # accumulate into input window — use index arithmetic
-                raise NotImplementedError(
-                    "avg_pool2d backward uses conv_transpose path"
-                )
-
-    # use the conv_transpose formulation instead of the loop above
-    @staticmethod
-    def backward(ctx, grad):  # noqa: F811
+        # distribute each output grad uniformly over its window via a
+        # conv_transpose with an identity-channel averaging kernel
         shape, k, s, p = ctx.saved_tensors
         n_ch = shape[1]
-        kernel = jnp.zeros((n_ch, n_ch, k[0], k[1]))
         eye = jnp.eye(n_ch)
         kernel = jnp.einsum("oi,hw->oihw", eye, jnp.ones((k[0], k[1]))) / (
             k[0] * k[1]
