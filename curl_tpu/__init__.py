@@ -290,6 +290,10 @@ class CrypTensor:
         return method
 
     def __getitem__(self, idx):
+        from . import autograd as _ag
+
+        if _ag.is_grad_enabled() and getattr(self, "requires_grad", False):
+            return _ag.apply_function("getitem", self, idx)
         return _eager_run(lambda m: m[idx], self)
 
     # -- operators ---------------------------------------------------------

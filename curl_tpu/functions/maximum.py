@@ -1,8 +1,10 @@
 """max / min / argmax / argmin reductions (reference:
-curl/common/functions/maximum.py). Four methods selected by
+curl/common/functions/maximum.py). Five methods selected by
 cfg.functions.max_method: pairwise (O(n^2) comparisons, constant rounds),
 log_reduction (O(n), O(log n) rounds), double_log_reduction,
-accelerated_cascade. Ties are broken with a weighted random one-hot.
+accelerated_cascade, and the TPU-first scan_reduction (fixed-shape
+butterfly under lax.scan — O(log n) rounds, graph traced once). Ties are
+broken with a weighted random one-hot.
 """
 
 from __future__ import annotations

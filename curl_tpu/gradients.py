@@ -930,3 +930,34 @@ def install():
 
     install_autograd(MPCTensor)
     install_autograd(curl_tpu.CrypTensor)
+
+
+@register_function("getitem")
+class AutogradGetItem(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a, idx):
+        ctx.save_multiple_for_backward([_shape_of(a), idx])
+        return a[idx]
+
+    @staticmethod
+    def backward(ctx, grad):
+        shape, idx = ctx.saved_tensors
+        out = _zeros_like_with(grad, shape)
+        # scatter the gradient back into the indexed slots
+        share = out.share if not hasattr(out, "mpc") else out.mpc.share
+        if hasattr(out, "mpc"):
+            new_share = out.mpc.share.at[(slice(None),) + _as_index_tuple(idx)].add(
+                grad.mpc.share
+            )
+            out.mpc = type(out.mpc)(
+                type(out.mpc._tensor)(new_share, out.mpc.encoder), out.mpc.ptype
+            )
+            return out
+        new_share = out._tensor.share.at[_as_index_tuple(idx)].add(grad.share)
+        return type(out)(
+            type(out._tensor)(new_share, out._tensor.encoder), out.ptype
+        )
+
+
+def _as_index_tuple(idx):
+    return idx if isinstance(idx, tuple) else (idx,)

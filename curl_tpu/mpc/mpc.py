@@ -287,6 +287,10 @@ class MPCTensor:
     __mod__ = mod
 
     def __getitem__(self, idx):
+        from ..autograd import FUNCTION_REGISTRY, apply_function, is_grad_enabled
+
+        if is_grad_enabled() and getattr(self, "requires_grad", False):
+            return apply_function("getitem", self, idx)
         return self._wrap(self._tensor[idx])
 
     # binary-ptype bitwise ops (passthroughs to BinarySharedTensor)
