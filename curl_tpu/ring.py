@@ -146,10 +146,11 @@ def trunc_div_signed(a, divisor: int):
     if divisor & (divisor - 1) == 0:
         return trunc_div_pow2_signed(a, int(math.log2(divisor)))
     s = to_signed(a)
-    # jnp // on signed ints floors; correct floor -> truncation:
+    # jnp // on signed ints floors; truncation adds one when the floored
+    # quotient is negative and division is inexact
     q = s // jnp.int64(divisor)
     r = s - q * jnp.int64(divisor)
-    q = jnp.where((r != 0) & ((r < 0) != (jnp.int64(divisor) < 0)), q + 1, q)
+    q = jnp.where((r != 0) & ((s < 0) != (divisor < 0)), q + 1, q)
     return from_signed(q)
 
 
@@ -168,9 +169,9 @@ def signed_floordiv_pow2(a, bits: int):
 def count_wraps(shares_stacked):
     """Count overflow wraps when summing signed shares over leading axis.
 
-    Mirrors reference curl/common/util.py:15 count_wraps: +1 when adding two
-    negatives yields a positive (negative wrap counted negatively), -1 when
-    adding two positives yields a negative.
+    Mirrors reference curl/common/util.py:15 count_wraps: adding two
+    positives that overflow to negative counts +1; adding two negatives
+    that underflow to positive counts -1.
     """
     s = to_signed(shares_stacked)
     result = jnp.zeros(s.shape[1:], dtype=jnp.int64)
@@ -178,8 +179,8 @@ def count_wraps(shares_stacked):
     for i in range(1, s.shape[0]):
         cur = s[i]
         next_val = prev + cur
-        pos_wrap = (prev < 0) & (cur < 0) & (next_val >= 0)
-        neg_wrap = (prev >= 0) & (cur >= 0) & (next_val < 0)
+        neg_wrap = (prev < 0) & (cur < 0) & (next_val > 0)
+        pos_wrap = (prev > 0) & (cur > 0) & (next_val < 0)
         result = result + pos_wrap.astype(jnp.int64) - neg_wrap.astype(jnp.int64)
         prev = next_val
     return from_signed(result)

@@ -209,3 +209,16 @@ def test_three_party_truncation(world_size, rng):
     out = (enc(x) * enc(np.full(100, 2.0))).get_plain_text()
     np.testing.assert_allclose(out, 2 * x, atol=0.05)
     reinit(world_size=2)
+
+
+@pytest.mark.parametrize("world_size", [3])
+def test_crypten_truncation_3pc(world_size, rng):
+    """The wrap-corrected truncate protocol (>2PC, crypten trunc method)."""
+    reinit(world_size=world_size)
+    with curl_tpu.cfg.temp_override({"encoder.trunc_method.prod": "crypten"}):
+        x = rng.normal(size=(200,)) * 20
+        y = rng.normal(size=(200,)) * 20
+        out = (enc(x) * enc(y)).get_plain_text()
+        # wrap correction fails w.p. ~|x|/2^64 per element; allow no failures
+        np.testing.assert_allclose(out, x * y, atol=0.1)
+    reinit(world_size=2)
