@@ -99,8 +99,7 @@ def main():
 
     vs_baseline = (tokens_per_sec / baseline_tps) if baseline_tps else None
 
-    print(
-        json.dumps(
+    record = (
             {
                 "metric": f"{MODEL.lower()}_2pc_private_inference_throughput",
                 "value": round(tokens_per_sec, 4),
@@ -117,8 +116,20 @@ def main():
                     "baseline_tokens_per_sec": baseline_tps,
                 },
             }
-        )
     )
+    try:
+        import datetime
+
+        hist = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks", "results",
+            "history.jsonl",
+        )
+        os.makedirs(os.path.dirname(hist), exist_ok=True)
+        with open(hist, "a") as f:
+            f.write(json.dumps({"ts": datetime.datetime.now().isoformat(), **record}) + "\n")
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
