@@ -223,6 +223,95 @@ def _lut_open_shift(x_flat, size: int):
     return one_hot_r, shift
 
 
+def _lut_chunk_elements() -> int:
+    """Memory bound for the (N, L) one-hot intermediates (elements)."""
+    try:
+        return int(cfg.mpc.lut_chunk_elements)
+    except (AttributeError, TypeError):
+        return 1 << 23  # 8M u64 elements = 64 MB per intermediate
+
+
+def _chunked_lut_sum(x_flat, luts_rows, size: int):
+    """Evaluate sum_j onehot_r[n,j] * lut_row[(j + shift_n) % L] for one or
+    two public table rows, chunking N so the (chunk, L) one-hot and rotated
+    tables never exceed the memory bound.
+
+    Round-preserving: the single reveal opens the full (N,) shift vector;
+    only the LOCAL one-hot construction + gather + dot are chunked (the
+    TFP mask is PRZS + rank-0 one-hot, both recomputable per chunk with a
+    forked key stream). Falls back to the unchunked path for providers
+    whose mask distribution needs communication (TTP).
+    """
+    from ... import random as rng_mod
+
+    n = x_flat.shape[0]
+    limit = _lut_chunk_elements()
+    provider = _provider()
+    chunkable = (
+        provider.NAME == "TFP"
+        and getattr(provider, "_serving_cache", None) is None
+        and n * size > limit
+        and n > 1
+    )
+    if not chunkable:
+        one_hot_r, shift = _lut_open_shift(x_flat, size)
+        rots = [_rotated_table(row, shift, size) for row in luts_rows]
+        return [jnp.sum(one_hot_r.share * rot, axis=1) for rot in rots]
+
+    # ---- chunked TFP path ----
+    chunk = max(limit // size, 1)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+
+    # draw r exactly as generate_one_hot does, reveal shift in ONE round
+    r = rng_mod.random_ring((n,), "local")
+    r_clear = jnp.mod(ring.to_signed(r), jnp.int64(size))
+    r_share = rng_mod.przs_arithmetic((n,))
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        r_share = r_share + mask * r_clear.view(jnp.uint64)
+    else:
+        r_share = r_share + r_clear.view(jnp.uint64)
+    z = comm.all_sum(x_flat.share - r_share)
+    shift = jnp.mod(ring.to_signed(z), jnp.int64(size)).astype(jnp.int32)
+
+    r_clear_p = jnp.pad(r_clear, (0, n_pad - n))
+    shift_p = jnp.pad(shift, (0, n_pad - n))
+    grid = jnp.arange(size, dtype=jnp.int64)
+    luts_stack = jnp.stack([ring.to_ring(row) for row in luts_rows])
+
+    def body(inputs):
+        rc, sh, idx = inputs
+        with rng_mod.fork(idx):
+            onehot = (rc[:, None] == grid).astype(jnp.uint64)
+            oh_share = rng_mod.przs_arithmetic((chunk, size))
+            if comm.get_world_size() > 1:
+                m = (comm.rank_signed() == 0).astype(jnp.uint64)
+                oh_share = oh_share + m * onehot
+            else:
+                oh_share = oh_share + onehot
+            j = jnp.arange(size, dtype=jnp.int32)[None, :]
+            gidx = jnp.mod(j + sh[:, None], size)
+            outs = []
+            for li in range(len(luts_rows)):
+                rot = jnp.take(luts_stack[li], gidx, axis=0)
+                outs.append(jnp.sum(oh_share * rot, axis=1))
+        return jnp.stack(outs)
+
+    import jax as _jax
+
+    results = _jax.lax.map(
+        body,
+        (
+            r_clear_p.reshape(n_chunks, chunk),
+            shift_p.reshape(n_chunks, chunk),
+            jnp.arange(n_chunks),
+        ),
+    )  # (n_chunks, n_rows, chunk)
+    flat = jnp.moveaxis(results, 1, 0).reshape(len(luts_rows), n_pad)[:, :n]
+    return [flat[i] for i in range(len(luts_rows))]
+
+
 def _rotated_table(lut, shift, size: int):
     """public table gathered at (j + shift_n) mod size -> (N, L)."""
     j = jnp.arange(size, dtype=jnp.int32)[None, :]
@@ -237,9 +326,7 @@ def evaluate_lut(x, lut):
     size = lut.shape[0]
     shape = x.shape
     x_flat = x.with_share(x.share.reshape(-1))
-    one_hot_r, shift = _lut_open_shift(x_flat, size)
-    rot = _rotated_table(lut, shift, size)        # (N, L) public
-    result = jnp.sum(one_hot_r.share * rot, axis=1)
+    (result,) = _chunked_lut_sum(x_flat, [lut], size)
     return ArithmeticSharedTensor(result.reshape(shape), x.encoder)
 
 
@@ -250,12 +337,7 @@ def evaluate_bior_lut(x, luts, scale, bias: int):
     size = luts.shape[1]
     shape = x.shape
     x_flat = x.with_share(x.share.reshape(-1))
-    one_hot_r, shift = _lut_open_shift(x_flat, size)
-
-    rot0 = _rotated_table(luts[0], shift, size)
-    rot1 = _rotated_table(luts[1], shift, size)
-    lut0 = jnp.sum(one_hot_r.share * rot0, axis=1)
-    lut1 = jnp.sum(one_hot_r.share * rot1, axis=1)
+    lut0, lut1 = _chunked_lut_sum(x_flat, [luts[0], luts[1]], size)
 
     scaling = _raw(
         ArithmeticSharedTensor(scale.share.reshape(-1), scale.encoder)
