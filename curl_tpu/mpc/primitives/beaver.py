@@ -228,7 +228,7 @@ def _lut_chunk_elements() -> int:
     try:
         return int(cfg.mpc.lut_chunk_elements)
     except (AttributeError, TypeError):
-        return 1 << 23  # 8M u64 elements = 64 MB per intermediate
+        return 1 << 27  # 128M u64 elements = 1 GB per intermediate
 
 
 def _chunked_lut_sum(x_flat, luts_rows, size: int):
