@@ -228,7 +228,7 @@ def _lut_chunk_elements() -> int:
     try:
         return int(cfg.mpc.lut_chunk_elements)
     except (AttributeError, TypeError):
-        return 1 << 27  # 128M u64 elements = 1 GB per intermediate
+        return 1 << 24  # 16M u64 elements = 128 MB per intermediate
 
 
 def _chunked_lut_sum(x_flat, luts_rows, size: int):
