@@ -224,11 +224,18 @@ def _lut_open_shift(x_flat, size: int):
 
 
 def _lut_chunk_elements() -> int:
-    """Memory bound for the (N, L) one-hot intermediates (elements)."""
+    """Memory bound for the (N, L) one-hot intermediates (elements).
+
+    Default effectively disables chunking: the lax.map chunked form was
+    observed to break the remote TPU compiler in this environment (every
+    post-chunking compile SIGKILLed while identical-scale unchunked
+    programs compiled fine). Set mpc.lut_chunk_elements to enable for
+    batch-scale runs once the compiler issue is resolved (round-2 item).
+    """
     try:
         return int(cfg.mpc.lut_chunk_elements)
     except (AttributeError, TypeError):
-        return 1 << 24  # 16M u64 elements = 128 MB per intermediate
+        return 1 << 31
 
 
 def _chunked_lut_sum(x_flat, luts_rows, size: int):
