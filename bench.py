@@ -28,6 +28,16 @@ REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def main():
+    # fail fast on configuration errors before entering the fallback chain
+    import curl_tpu
+    from curl_tpu import models
+
+    if not hasattr(models, MODEL):
+        raise SystemExit(
+            f"unknown BENCH_MODEL={MODEL!r}; available: "
+            f"{[n for n in dir(models) if n[0].isupper()]}"
+        )
+
     # the remote TPU compiler can fail on the largest graphs (memory-bound,
     # service-side); fall back through smaller sequence lengths so a result
     # is always produced
