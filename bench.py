@@ -41,7 +41,8 @@ def main():
     # the remote TPU compiler can fail on the largest graphs (memory-bound,
     # service-side); fall back through smaller sequence lengths so a result
     # is always produced
-    for seq in [SEQ, 32, 16, 8]:
+    fallbacks = [SEQ] + [s for s in (32, 16, 8) if s < SEQ]
+    for seq in fallbacks:
         try:
             _run(seq)
             return
