@@ -216,18 +216,23 @@ class Module:
         return self
 
     def update_parameters(self, learning_rate, grad_threshold=100):
-        """SGD step over encrypted parameters with grad-explosion guard."""
-        for m in self.modules():
-            grads = getattr(m, "_grads", None)
-            if not grads:
-                continue
-            for name, g in grads.items():
-                p = m._parameters[name]
-                if grad_threshold is not None:
-                    # zero exploded grads: |g| > threshold -> 0
-                    mask = g.square().lt(grad_threshold * grad_threshold)
-                    g = g.mul(mask)
-                m._parameters[name] = p - g.mul(learning_rate)
+        """SGD step over encrypted parameters with the reference's
+        grad-explosion guard (module.py:321-347): gradients whose square
+        exceeds grad_threshold^2 are zeroed before the update."""
+        from ..autograd import no_grad
+
+        with no_grad():
+            for m in self.modules():
+                for name, p in list(m._parameters.items()):
+                    g = getattr(p, "grad", None)
+                    if g is None:
+                        continue
+                    if grad_threshold is not None:
+                        mask = g.square().lt(grad_threshold * grad_threshold)
+                        g = g.mul(mask)
+                    new_p = p.sub(g.mul(learning_rate))
+                    new_p.requires_grad = True
+                    m._parameters[name] = new_p
         return self
 
 
