@@ -25,6 +25,38 @@ SEQ = int(os.environ.get("BENCH_SEQ", "64"))
 MODEL = os.environ.get("BENCH_MODEL", "GPT2")
 FULL = os.environ.get("BENCH_FULL", "1") == "1"
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+SANITY = os.environ.get("BENCH_SANITY", "1") == "1"
+
+
+def _make_sync():
+    """Timing must NOT trust jax.block_until_ready: on the remote 'axon'
+    platform it returns before device execution completes (round-1 headline
+    numbers were ~5,000x wrong because of this). Force completion by
+    reducing the output ON DEVICE and fetching the scalar to host — the
+    fetch cannot return until the whole program has run."""
+    import jax
+    import numpy as np
+
+    reduce_fn = jax.jit(lambda s: s.sum())
+
+    def sync(out):
+        return int(np.asarray(jax.device_get(reduce_fn(out.share))))
+
+    return sync
+
+
+def _mxu_floor_sec(model, batch, seq, backend):
+    """Arithmetic-intensity lower bound for the fused 2-party program.
+
+    Every private matmul runs as balanced-int8-limb MXU contractions
+    (curl_tpu/ring.py): 64x the plain MAC count, ~3 ring matmuls per Beaver
+    product (a*delta, eps*b public-side + offline triple's a@b), x2 parties
+    fused in one program. Any measured latency materially below this bound
+    indicates broken timing, not a fast program."""
+    macs = model.forward_macs(batch, seq) if hasattr(model, "forward_macs") else 0
+    int8_ops = macs * 2 * 64 * 3 * 2  # MAC=2 ops, limb 64x, beaver 3x, parties 2x
+    peak = 394e12 if backend != "cpu" else 200e9  # v5e int8 peak / CPU guess
+    return int8_ops / peak
 
 
 def main():
@@ -48,7 +80,9 @@ def main():
             return
         except Exception as e:  # noqa: BLE001
             import sys
+            import traceback
 
+            traceback.print_exc(file=sys.stderr)
             print(f"# seq={seq} failed ({type(e).__name__}); falling back",
                   file=sys.stderr)
     raise SystemExit("all benchmark configurations failed")
@@ -95,20 +129,56 @@ def _run(seq):
     else:
         step = curl_tpu.compile_parties(apply_fn, world_size=2)
 
+    sync = _make_sync()
+
     t0 = time.time()
     out = step(jax.random.PRNGKey(100), params, xe.mpc)
-    jax.block_until_ready(out.share)
+    sync(out)
     compile_time = time.time() - t0
 
     times = []
     for i in range(REPS):
         t0 = time.time()
         out = step(jax.random.PRNGKey(101 + i), params, xe.mpc)
-        jax.block_until_ready(out.share)
+        sync(out)
         times.append(time.time() - t0)
 
     latency = min(times)
     tokens_per_sec = BATCH * seq / latency
+
+    floor = _mxu_floor_sec(model, BATCH, seq, jax.default_backend())
+    if floor and latency < 0.25 * floor and jax.default_backend() != "cpu":
+        raise SystemExit(
+            f"measured latency {latency:.4f}s is below 25% of the MXU "
+            f"arithmetic-intensity floor {floor:.4f}s — timing is not "
+            "waiting for device execution; refusing to report"
+        )
+
+    sanity_ratio = None
+    if SANITY and seq >= 16 and FULL:
+        # O(T^2) attention + O(T) everything else: halving seq must shrink
+        # latency. A flat profile means timing is broken (round-1 artifact).
+        half_model = getattr(models, MODEL)(seq_len=seq // 2, full=FULL)
+        half_model.encrypt(src=0)
+        h_apply, h_params = half_model.functional()
+        hx = np.random.default_rng(0).integers(0, 1000, size=(BATCH, seq // 2))
+        hxe = curl_tpu.cryptensor(hx.astype(np.float64), precision=0)
+        h_step = curl_tpu.compile_parties(h_apply, world_size=2)
+        h_out = h_step(jax.random.PRNGKey(100), h_params, hxe.mpc)
+        sync(h_out)  # compile
+        h_times = []
+        for i in range(REPS):
+            t0 = time.time()
+            h_out = h_step(jax.random.PRNGKey(101 + i), h_params, hxe.mpc)
+            sync(h_out)
+            h_times.append(time.time() - t0)
+        sanity_ratio = latency / min(h_times)
+        if sanity_ratio < 1.0:
+            raise SystemExit(
+                f"seq-scaling sanity failed: latency(seq={seq}) = "
+                f"{latency:.4f}s <= latency(seq={seq//2}) = "
+                f"{min(h_times):.4f}s — timing is suspect; refusing to report"
+            )
 
     baseline_tps = None
     baseline_file = os.path.join(
@@ -141,6 +211,12 @@ def _run(seq):
                     "tuple_cache": os.environ.get("BENCH_CACHE", "0") == "1",
                     "backend": jax.default_backend(),
                     "baseline_tokens_per_sec": baseline_tps,
+                    "timing": "on-device reduce + host scalar fetch "
+                              "(block_until_ready is unreliable on axon)",
+                    "mxu_floor_sec": round(floor, 4) if floor else None,
+                    "seq_scaling_ratio_vs_half": (
+                        round(sanity_ratio, 2) if sanity_ratio else None
+                    ),
                 },
             }
     )

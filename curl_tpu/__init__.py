@@ -161,17 +161,27 @@ def _eager_run(fn, *args):
     else:
         from .mpc.provider.provider import TupleCache
 
+        # Serve from the host cache's current cursor and advance it by however
+        # many entries this op's trace consumes. Re-serving from index 0 on
+        # every op would reuse Beaver masks across different secrets (leaking
+        # x1-x2 / y1-y2 to all parties) whenever shapes happen to line up.
+        remaining = host_cache.entries[host_cache.cursor:]
+        consumed = [0]
+
         def party_fn(party_keys, cache_entries, *inner):
             with mpc_context(party_keys, ws):
-                provider.attach_serving_cache(TupleCache(list(cache_entries)))
+                view = TupleCache(list(cache_entries))
+                provider.attach_serving_cache(view)
                 try:
                     return fn(*inner)
                 finally:
+                    consumed[0] = view.cursor
                     provider.attach_serving_cache(None)
 
         out = jax.vmap(
             party_fn, in_axes=(0, 0) + tuple(in_axes), axis_name=comm.PARTY_AXIS
-        )(keys, host_cache.entries, *vals)
+        )(keys, remaining, *vals)
+        host_cache.cursor += consumed[0]
     return jax.tree_util.tree_map(
         _wrap_out, out, is_leaf=lambda x: isinstance(x, MPCTensor)
     )

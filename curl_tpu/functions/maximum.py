@@ -203,7 +203,12 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
     k = int(math.ceil(math.log2(n))) if n > 1 else 1
     padded = 1 << k
     if padded != n:
-        x = x.pad((0, padded - n), value=-(2 ** 24))
+        # Pad with the most-negative decoded value whose pairwise differences
+        # stay within the 64-bit ring's sign-comparison envelope (|a-b| <
+        # 2^63): encoded -2^61. A fixed -(2^24) sentinel would silently lose
+        # to representable inputs at or below it.
+        prec = inp.encoder.precision_bits
+        x = x.pad((0, padded - n), value=-float(2 ** (61 - prec)))
 
     strides = jnp.array([padded >> (i + 1) for i in range(k)], dtype=jnp.int32)
 

@@ -38,6 +38,8 @@ class GPT(nn.Module):
         self.full = full
         self.embed_dim = embed_dim
         self.seq_len = seq_len
+        self.num_blocks = num_blocks
+        self.vocab_size = vocab_size
 
         if full:
             self.tok_embed = nn.Embedding(vocab_size, embed_dim)
@@ -51,6 +53,21 @@ class GPT(nn.Module):
             self.ln = nn.LayerNorm(embed_dim)
             self.fc = nn.Linear(embed_dim, vocab_size)
             self.softmax = nn.Softmax(-1)
+
+    def forward_macs(self, batch, seq):
+        """Plain multiply-accumulate count of one forward (for the bench's
+        arithmetic-intensity floor; excludes nonlinearity LUT work)."""
+        d = self.embed_dim
+        per_block = (
+            seq * d * 3 * d          # qkv projection
+            + 2 * seq * seq * d      # scores + weighted values
+            + seq * d * d            # attn out projection
+            + 2 * seq * d * 4 * d    # ffn up + down
+        )
+        macs = self.num_blocks * per_block
+        if self.full:
+            macs += 2 * seq * self.vocab_size * d  # embedding one-hot + lm head
+        return batch * macs
 
     def forward(self, x):
         if self.full:

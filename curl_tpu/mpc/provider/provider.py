@@ -150,8 +150,10 @@ class TupleProvider:
             pickle.dump(self.requests, f)
 
     def load_requests(self, path):
+        from ...utils.serial import restricted_loads
+
         with open(path, "rb") as f:
-            self.requests = pickle.load(f)
+            self.requests = restricted_loads(f.read())
 
     # -- cache persistence (reference provider.py:62-112) -------------------
     def save_cache(self, path):
@@ -175,8 +177,10 @@ class TupleProvider:
         import jax.numpy as jnp
         import numpy as np
 
+        from ...utils.serial import restricted_loads
+
         data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
-        treedef = pickle.loads(bytes(data["__treedef__"]))
+        treedef = restricted_loads(bytes(data["__treedef__"]))
         leaves = [
             jnp.asarray(data[k]) for k in data.files if k != "__treedef__"
         ]

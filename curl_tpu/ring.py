@@ -249,7 +249,9 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     M, K = a.shape[-2], a.shape[-1]
     K2, N = b.shape[-2], b.shape[-1]
     assert K == K2, f"matmul inner dims mismatch {K} vs {K2}"
-    if K > MAX_EXACT_K:
+    if K >= MAX_EXACT_K:
+        # K == 2^17 worst case (all digits -128) sums to exactly +2^31 and
+        # would overflow the int32 MXU accumulator, so split at the bound too
         # split contraction to preserve exactness
         half = K // 2
         return matmul(a[..., :half], b[..., :half, :]) + matmul(

@@ -28,6 +28,12 @@ _SAFE_CLASSES = {
     ("numpy.core.multiarray", "_reconstruct"),
     ("numpy._core.multiarray", "_reconstruct"),
     ("curl_tpu.mpc.provider.provider", "TupleRequest"),
+    # pickled jax treedefs (tuple-cache persistence) reference exactly these:
+    ("jaxlib._jax.pytree", "PyTreeDef"),
+    ("jaxlib.xla_extension.pytree", "PyTreeDef"),
+    ("jax._src.tree_util", "default_registry"),
+    ("curl_tpu.mpc.primitives.arithmetic", "ArithmeticSharedTensor"),
+    ("curl_tpu.mpc.primitives.binary", "BinarySharedTensor"),
 }
 
 

@@ -96,6 +96,84 @@ def test_tuple_trace_and_cache(rng, restore_cfg):
     provider.requests = []
 
 
+def test_cached_eager_ops_advance_cursor(rng, restore_cfg):
+    """Successive eager ops after fill_cache must consume distinct cache
+    entries (reusing entry 0's Beaver mask across secrets would leak x1-x2
+    to all parties) and raise once the cache is exhausted."""
+    reinit(world_size=2)
+    provider = curl_tpu.get_default_provider()
+    provider.requests = []
+    x = rng.normal(size=(4,))
+    y = rng.normal(size=(4,))
+    a = rng.normal(size=(4,))
+    b = rng.normal(size=(4,))
+
+    curl_tpu.trace(True)
+    _ = (enc(x) * enc(y)).get_plain_text()
+    _ = (enc(a) * enc(b)).get_plain_text()
+    curl_tpu.trace(False)
+    n_requests = len(provider.requests)
+    assert n_requests >= 2
+
+    cache = curl_tpu.fill_cache(seed=7)
+    assert cache.cursor == 0
+
+    out1 = (enc(x) * enc(y)).get_plain_text()
+    cursor_after_first = cache.cursor
+    assert cursor_after_first >= 1
+    out2 = (enc(a) * enc(b)).get_plain_text()
+    assert cache.cursor == len(cache.entries)
+    np.testing.assert_allclose(out1, x * y, atol=0.02)
+    np.testing.assert_allclose(out2, a * b, atol=0.02)
+
+    # a third op must fail loudly, not silently restart from entry 0
+    with pytest.raises(RuntimeError, match="exhausted"):
+        _ = (enc(x) * enc(y)).get_plain_text()
+
+    provider.attach_cache(None)
+    provider.requests = []
+
+
+def test_cache_disk_roundtrip(rng, restore_cfg, tmp_path):
+    """Offline-phase checkpoint: save_cache/load_cache roundtrip through the
+    restricted unpickler (treedef is pickled; must stay on the allowlist)."""
+    reinit(world_size=2)
+    provider = curl_tpu.get_default_provider()
+    provider.requests = []
+    x = rng.normal(size=(4,))
+    y = rng.normal(size=(4,))
+
+    curl_tpu.trace(True)
+    _ = (enc(x) * enc(y)).get_plain_text()
+    curl_tpu.trace(False)
+    curl_tpu.fill_cache(seed=5)
+
+    path = str(tmp_path / "tuples.npz")
+    provider.save_cache(path)
+    provider.attach_cache(None)
+
+    cache = provider.load_cache(path)
+    assert cache.cursor == 0
+    out = (enc(x) * enc(y)).get_plain_text()
+    np.testing.assert_allclose(out, x * y, atol=0.02)
+
+    # tampered request files must be rejected, not executed
+    import pickle
+
+    evil = tmp_path / "requests.pkl"
+
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    evil.write_bytes(pickle.dumps([Evil()]))
+    with pytest.raises(pickle.UnpicklingError):
+        provider.load_requests(str(evil))
+
+    provider.attach_cache(None)
+    provider.requests = []
+
+
 def test_comm_stats_counting(rng):
     reinit(world_size=2)
     curl_tpu.reset_communication_stats()
