@@ -316,7 +316,18 @@ class CrypTensor:
         return self.sub(y)
 
     def __rsub__(self, y):
+        from . import autograd as _ag
+
+        if _ag.is_grad_enabled() and getattr(self, "requires_grad", False):
+            return _ag.apply_function("__rsub__", self, y)
         return _eager_run(lambda m, yy: m.neg().add(yy), self, y)
+
+    def __rtruediv__(self, y):
+        from . import autograd as _ag
+
+        if _ag.is_grad_enabled() and getattr(self, "requires_grad", False):
+            return _ag.apply_function("__rtruediv__", self, y)
+        return _eager_run(lambda m, yy: m.reciprocal().mul(yy), self, y)
 
     def __mul__(self, y):
         return self.mul(y)
@@ -376,6 +387,12 @@ def cat(tensors, dim=0):
     if not enc:
         return jnp.concatenate(tensors, axis=dim)
     tensors = [t if isinstance(t, CrypTensor) else cryptensor(t) for t in tensors]
+    from . import autograd as _ag
+
+    if _ag.is_grad_enabled() and any(
+        getattr(t, "requires_grad", False) for t in tensors
+    ):
+        return _ag.apply_function("cat", tensors, dim)
     return _eager_run(lambda *ms: MPCTensor.cat(list(ms), axis=dim), *tensors)
 
 
@@ -384,6 +401,12 @@ def stack(tensors, dim=0):
     if not enc:
         return jnp.stack(tensors, axis=dim)
     tensors = [t if isinstance(t, CrypTensor) else cryptensor(t) for t in tensors]
+    from . import autograd as _ag
+
+    if _ag.is_grad_enabled() and any(
+        getattr(t, "requires_grad", False) for t in tensors
+    ):
+        return _ag.apply_function("stack", tensors, dim)
     return _eager_run(lambda *ms: MPCTensor.stack(list(ms), axis=dim), *tensors)
 
 

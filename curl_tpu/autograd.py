@@ -123,9 +123,18 @@ def _encrypt_like(tensor, value):
 
 
 def _requires_grad(args):
-    return any(
-        getattr(a, "requires_grad", False) for a in args if _is_tensor_like(a)
-    )
+    for a in args:
+        if _is_tensor_like(a):
+            if getattr(a, "requires_grad", False):
+                return True
+        elif isinstance(a, (list, tuple)):
+            if any(
+                getattr(t, "requires_grad", False)
+                for t in a
+                if _is_tensor_like(t)
+            ):
+                return True
+    return False
 
 
 class _Node:
@@ -159,7 +168,14 @@ def apply_function(name, *args, **kwargs):
     ctx = AutogradContext()
     with no_grad():
         result = grad_cls.forward(ctx, *args, **kwargs)
-    tensor_inputs = [a for a in args if _is_tensor_like(a)]
+    tensor_inputs = []
+    for a in args:
+        if _is_tensor_like(a):
+            tensor_inputs.append(a)
+        elif isinstance(a, (list, tuple)):
+            # cat/stack take a sequence of tensors: each element is a
+            # distinct tape input receiving its own grad slice
+            tensor_inputs.extend(t for t in a if _is_tensor_like(t))
     node = _Node(grad_cls, ctx, tensor_inputs)
     multi = isinstance(result, (tuple, list))
     outs = list(result) if multi else [result]

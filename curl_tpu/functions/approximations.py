@@ -130,7 +130,16 @@ def exp(self):
 def log(self, input_in_01=False):
     """log via LUT or Householder iterations (approximations.py:432-502)."""
     if input_in_01:
-        return log(self.mul(100)) - 4.605170
+        # ln(u) = ln(a*u) - ln(a). The reference uses a=100 tuned to the
+        # iterative method's convergence domain (approximations.py:449-456),
+        # but under LUT methods the log table only covers [0, 2^log_lut_max_bits)
+        # — a=100 overflows the table for u > 0.64 (latent bug in the
+        # reference's default config). Pick a = table max instead.
+        if cfg.functions.log_method in ("haar", "bior"):
+            a = float(2 ** cfg.functions.log_lut_max_bits)
+        else:
+            a = 100.0
+        return log(self.mul(a)) - math.log(a)
 
     iterations = cfg.functions.log_iterations
     exp_iterations = cfg.functions.log_exp_iterations

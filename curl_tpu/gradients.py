@@ -284,7 +284,7 @@ class AutogradGelu(AutogradFunction):
         (a,) = ctx.saved_tensors
         invsqrt2 = 1.0 / math.sqrt(2)
         phi_cdf = a.mul(invsqrt2).erf().add(1).div(2)
-        pdf = a.square().div(-2).exp().mul(1.0 / math.sqrt(2 * math.pi))
+        pdf = a.square().div(2).neg().exp().mul(1.0 / math.sqrt(2 * math.pi))
         return grad.mul(phi_cdf.add(a.mul(pdf)))
 
 
@@ -321,11 +321,8 @@ class AutogradReLU(AutogradFunction):
 class AutogradHardtanh(AutogradFunction):
     @staticmethod
     def forward(ctx, a, min_value=-1, max_value=1):
-        from .mpc.mpc import MPCTensor
-
-        cls = type(a)
-        stacked = cls.stack([a.sub(min_value), a.sub(max_value)])
-        mask_stack = stacked.gt(0) if hasattr(stacked, "gt") else None
+        stacked = _module_stack([a.sub(min_value), a.sub(max_value)], 0)
+        mask_stack = stacked.gt(0)
         inter = stacked.relu()
         ctx.save_for_backward(mask_stack)
         return inter[0].sub(inter[1]).add(min_value)
@@ -961,3 +958,604 @@ class AutogradGetItem(AutogradFunction):
 
 def _as_index_tuple(idx):
     return idx if isinstance(idx, tuple) else (idx,)
+
+
+# alias under the reference's dunder name (reference gradients.py:456)
+from .autograd import FUNCTION_REGISTRY  # noqa: E402
+
+FUNCTION_REGISTRY["__getitem__"] = AutogradGetItem
+
+
+# -- remaining reference surface (reference gradients.py:158-2161) ------------
+
+@register_function("clone")
+class AutogradClone(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a):
+        return a.clone()
+
+    @staticmethod
+    def backward(ctx, grad):
+        return grad.clone()
+
+
+@register_function("flip")
+class AutogradFlip(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a, dims):
+        ctx.save_for_backward(dims)
+        return a.flip(dims)
+
+    @staticmethod
+    def backward(ctx, grad):
+        (dims,) = ctx.saved_tensors
+        return grad.flip(dims)
+
+
+@register_function("take")
+class AutogradTake(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a, index, dim=None):
+        ctx.save_multiple_for_backward([_shape_of(a), index, dim])
+        return a.take(index, dim)
+
+    @staticmethod
+    def backward(ctx, grad):
+        shape, index, dim = ctx.saved_tensors
+        index = jnp.asarray(index)
+        out = _zeros_like_with(grad, shape)
+        if dim is None:
+            flat = out.view(int(np.prod(shape)))
+            flat = flat.index_add(0, index.reshape(-1), grad.view(index.size))
+            return flat.view(*shape)
+        return out.index_add(dim, index.reshape(-1), grad)
+
+
+@register_function("scatter")
+class AutogradScatter(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a, dim, index, src):
+        ctx.save_multiple_for_backward([dim, index])
+        return a.scatter(dim, index, src)
+
+    @staticmethod
+    def backward(ctx, grad):
+        dim, index = ctx.saved_tensors
+        index = jnp.asarray(index)
+        mask = jnp.ones(_shape_of(grad))
+        dims = jnp.meshgrid(*[jnp.arange(s) for s in index.shape], indexing="ij")
+        dims[dim] = index
+        mask = mask.at[tuple(dims)].set(0.0)
+        input_grad = grad.mul(mask)
+        src_grad = grad.gather(dim, index)
+        return (input_grad, src_grad)
+
+
+@register_function("trace")
+class AutogradTrace(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a):
+        ctx.save_for_backward(_shape_of(a)[0])
+        return a.trace()
+
+    @staticmethod
+    def backward(ctx, grad):
+        (n,) = ctx.saved_tensors
+        return grad.mul(jnp.eye(n))
+
+
+@register_function("cat")
+class AutogradCat(AutogradFunction):
+    @staticmethod
+    def forward(ctx, tensors, dim=0):
+        sections = [_shape_of(t)[dim] for t in tensors]
+        ctx.save_multiple_for_backward([dim, sections])
+        return _module_cat(tensors, dim)
+
+    @staticmethod
+    def backward(ctx, grad):
+        dim, sections = ctx.saved_tensors
+        return tuple(grad.split(sections, dim=dim))
+
+
+@register_function("stack")
+class AutogradStack(AutogradFunction):
+    @staticmethod
+    def forward(ctx, tensors, dim=0):
+        ctx.save_for_backward(dim)
+        return _module_stack(tensors, dim)
+
+    @staticmethod
+    def backward(ctx, grad):
+        (dim,) = ctx.saved_tensors
+        return tuple(grad.unbind(dim=dim))
+
+
+def _module_cat(tensors, dim):
+    import curl_tpu
+    from .mpc.mpc import MPCTensor
+
+    if isinstance(tensors[0], MPCTensor):
+        return MPCTensor.cat(list(tensors), axis=dim)
+    return curl_tpu.cat(list(tensors), dim=dim)
+
+
+def _module_stack(tensors, dim):
+    import curl_tpu
+    from .mpc.mpc import MPCTensor
+
+    if isinstance(tensors[0], MPCTensor):
+        return MPCTensor.stack(list(tensors), axis=dim)
+    return curl_tpu.stack(list(tensors), dim=dim)
+
+
+@register_function("__rsub__")
+class AutogradRSub(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a, b):
+        ctx.save_multiple_for_backward([_shape_of(a), _shape_of(b), _is_enc(b)])
+        return a.neg().add(b)
+
+    @staticmethod
+    def backward(ctx, grad):
+        sa, sb, b_enc = ctx.saved_tensors
+        ga = _reduce_broadcast(grad.neg(), sa)
+        gb = _reduce_broadcast(grad, sb) if b_enc else None
+        return (ga, gb)
+
+
+@register_function("__rtruediv__")
+class AutogradRDiv(AutogradFunction):
+    """other / self via the reciprocal LUT (reference gradients.py:828)."""
+
+    @staticmethod
+    def forward(ctx, a, b):
+        recip = a.reciprocal()
+        ctx.save_multiple_for_backward([recip, b, _is_enc(b)])
+        return recip.mul(b)
+
+    @staticmethod
+    def backward(ctx, grad):
+        recip, b, b_enc = ctx.saved_tensors
+        ga = recip.square().mul(b).mul(grad).neg()
+        ga = _reduce_broadcast(ga, _shape_of(recip))
+        if b_enc:
+            gb = _reduce_broadcast(recip.mul(grad), _shape_of(b))
+            return (ga, gb)
+        return (ga, None)
+
+
+@register_function("sin")
+class AutogradSin(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a):
+        cos, sin = a.cossin()
+        ctx.save_for_backward(cos)
+        return sin
+
+    @staticmethod
+    def backward(ctx, grad):
+        (cos,) = ctx.saved_tensors
+        return grad.mul(cos)
+
+
+@register_function("cos")
+class AutogradCos(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a):
+        cos, sin = a.cossin()
+        ctx.save_for_backward(sin)
+        return cos
+
+    @staticmethod
+    def backward(ctx, grad):
+        (sin,) = ctx.saved_tensors
+        return grad.mul(sin.neg())
+
+
+@register_function("sign")
+class AutogradSign(AutogradFunction):
+    """Zero gradient everywhere (reference gradients.py:1096)."""
+
+    @staticmethod
+    def forward(ctx, a):
+        return a.sign()
+
+    @staticmethod
+    def backward(ctx, grad):
+        return grad.sub(grad)
+
+
+@register_function("ger")
+class AutogradGer(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a, b):
+        ctx.save_multiple_for_backward([a, b, _is_enc(b)])
+        return a.ger(b)
+
+    @staticmethod
+    def backward(ctx, grad):
+        a, b, b_enc = ctx.saved_tensors
+        ga = grad.matmul(b)
+        gb = a.matmul(grad) if b_enc else None
+        return (ga, gb)
+
+
+@register_function("relu6")
+class AutogradReLU6(AutogradFunction):
+    """min(max(0, x), 6) via two stacked comparisons (reference
+    gradients.py:646)."""
+
+    @staticmethod
+    def forward(ctx, a):
+        inter = _module_stack([a, a.neg().add(6)], 0).gt(0)
+        parts = inter.unbind(0)
+        grad_mask = parts[0].add(parts[1]).sub(1)
+        ctx.save_for_backward(grad_mask)
+        result = grad_mask.mul(a)
+        return result.add(parts[1].neg().add(1).mul(6))
+
+    @staticmethod
+    def backward(ctx, grad):
+        (grad_mask,) = ctx.saved_tensors
+        return grad.mul(grad_mask)
+
+
+@register_function("polynomial")
+class AutogradPolynomial(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a, coeffs, func="mul"):
+        coeffs = np.asarray(coeffs, dtype=np.float64)
+        ctx.save_multiple_for_backward([a, coeffs, func])
+        return a.polynomial(coeffs, func)
+
+    @staticmethod
+    def backward(ctx, grad):
+        a, coeffs, func = ctx.saved_tensors
+        # d/dx sum_i c_i x^(i+1) = sum_i (i+1) c_i x^i
+        dcoeffs = coeffs * np.arange(1, coeffs.shape[0] + 1)
+        if dcoeffs.shape[0] == 1:
+            return grad.mul(float(dcoeffs[0]))
+        return a.polynomial(dcoeffs[1:], func).add(float(dcoeffs[0])).mul(grad)
+
+
+@register_function("pos_pow")
+class AutogradPosPow(AutogradFunction):
+    """x^p for x > 0: integer p via pow, fractional via exp(p log x)
+    (reference gradients.py:882)."""
+
+    @staticmethod
+    def forward(ctx, a, p):
+        if isinstance(p, int) or (isinstance(p, float) and int(p) == p):
+            ctx.save_multiple_for_backward([a, p, True])
+            return a.pow(int(p))
+        log_a = a.log()
+        ctx.save_multiple_for_backward([log_a, p, False])
+        return log_a.mul(p).exp()
+
+    @staticmethod
+    def backward(ctx, grad):
+        saved, p, integral = ctx.saved_tensors
+        if integral:
+            return saved.pow(int(p) - 1).mul(p).mul(grad)
+        return saved.mul(p - 1.0).mul(p).exp().mul(grad)
+
+
+@register_function("cosine_similarity")
+class AutogradCosineSimilarity(AutogradFunction):
+    @staticmethod
+    def forward(ctx, x1, x2, dim=1, eps=None):
+        assert _shape_of(x1) == _shape_of(x2), "cosine_similarity sizes must match"
+        xy = _module_stack([x1, x2], 0)  # (2, ...)
+        norm_sq = xy.square().sum(axis=dim + 1)
+        inv_norms = norm_sq.inv_sqrt()
+        ctx.save_multiple_for_backward([xy, inv_norms, dim])
+        inv_norm = inv_norms.prod(0)
+        dot = xy.prod(0).sum(dim)
+        return dot.mul(inv_norm)
+
+    @staticmethod
+    def backward(ctx, grad):
+        xy, inv_norms, dim = ctx.saved_tensors
+        dot = xy.prod(0).sum(dim, keepdim=True)
+        inv_norms = inv_norms.unsqueeze(dim + 1)
+        sq_inv_norms = inv_norms.square()
+        xy_normalized = xy.mul(sq_inv_norms)
+        yx = xy.roll(1, 0)
+        grads = yx.sub(dot.mul(xy_normalized)).mul(inv_norms.prod(0))
+        grads = grads.mul(grad.unsqueeze(dim))
+        x_grad, y_grad = grads.unbind(0)
+        return (x_grad, y_grad)
+
+
+@register_function("norm")
+class AutogradNorm(AutogradFunction):
+    @staticmethod
+    def forward(ctx, a, p="fro", dim=None, keepdim=False):
+        if p == float("inf"):
+            sign = a.sign()
+            absval = a.mul(sign)
+            if dim is None:
+                argmax = absval.argmax(one_hot=True)
+                mx = absval.mul(argmax).sum()
+            else:
+                mx, argmax = absval.max(dim, keepdim=keepdim, one_hot=True)
+            ctx.save_multiple_for_backward([sign, argmax, p, dim, keepdim])
+            return mx
+        norm = a.norm(p=p, dim=dim, keepdim=keepdim) if dim is not None else a.norm(p=p)
+        ctx.save_multiple_for_backward([a, norm, p, dim, keepdim])
+        return norm
+
+    @staticmethod
+    def backward(ctx, grad):
+        a, norm, p, dim, keepdim = ctx.saved_tensors
+        if not keepdim and dim is not None:
+            grad = grad.unsqueeze(dim)
+        if p == 2 or p == "fro":
+            return grad.mul(a.div(norm))
+        if p == float("inf"):
+            sign, argmax = a, norm
+            return grad.mul(argmax).mul(sign)
+        sign = a.sign()
+        absval = a.mul(sign)
+        return grad.mul(absval.div(norm).pos_pow(p - 1).mul(sign))
+
+
+@register_function("_feature_dropout")
+class AutogradFeatureDropout(AutogradFunction):
+    """Zero whole channels (dims 2+) with probability p (reference
+    gradients.py:533)."""
+
+    @staticmethod
+    def forward(ctx, a, p=0.5, training=True, inplace=False):
+        if not training or p == 0.0:
+            ctx.save_for_backward(None)
+            return a.clone()
+        import curl_tpu
+
+        mask_shape = _shape_of(a)[:2]
+        rand = curl_tpu.rand(*mask_shape)
+        mask = rand.gt(p)
+        for _ in range(len(_shape_of(a)) - 2):
+            mask = mask.unsqueeze(-1)
+        ctx.save_multiple_for_backward([mask, p])
+        return a.mul(mask).div(1 - p)
+
+    @staticmethod
+    def backward(ctx, grad):
+        saved = ctx.saved_tensors
+        if saved[0] is None:
+            return grad
+        mask, p = saved
+        return grad.mul(mask).div(1 - p)
+
+
+@register_function("attention")
+class AutogradAttention(AutogradFunction):
+    """Fused scaled-dot-product attention (reference gradients.py:1482;
+    the reference leaves the backward unimplemented — implemented here)."""
+
+    @staticmethod
+    def forward(ctx, query, key, value, mask=None):
+        scale = 1.0 / math.sqrt(_shape_of(query)[-1])
+        scores = query.matmul(key.transpose(-2, -1)).mul(scale)
+        if mask is not None:
+            scores = scores.add(mask)
+        probs = scores.softmax(-1)
+        out = probs.matmul(value)
+        ctx.save_multiple_for_backward([query, key, value, probs, scale])
+        return out
+
+    @staticmethod
+    def backward(ctx, grad):
+        query, key, value, probs, scale = ctx.saved_tensors
+        gv = probs.transpose(-2, -1).matmul(grad)
+        gprobs = grad.matmul(value.transpose(-2, -1))
+        # softmax backward: p * (g - sum(g*p))
+        inner = gprobs.mul(probs).sum(axis=-1, keepdim=True)
+        gscores = probs.mul(gprobs.sub(inner)).mul(scale)
+        gq = gscores.matmul(key)
+        gk = gscores.transpose(-2, -1).matmul(query)
+        return (gq, gk, gv, None)
+
+
+@register_function("batchnorm")
+class AutogradBatchNorm(AutogradFunction):
+    """Normalize over all dims but channel dim 1 (reference
+    gradients.py:1805)."""
+
+    @staticmethod
+    def forward(
+        ctx,
+        x,
+        weight,
+        bias,
+        running_mean=None,
+        running_var=None,
+        training=False,
+        eps=1e-5,
+        momentum=0.1,
+        inv_var=None,
+    ):
+        ndim = len(_shape_of(x))
+        stats_axes = tuple(i for i in range(ndim) if i != 1)
+        broadcast_shape = [1] * ndim
+        broadcast_shape[1] = _shape_of(x)[1]
+
+        if training:
+            mean = x.mean(axis=stats_axes, keepdim=True)
+            variance = x.var(axis=stats_axes, keepdim=True, unbiased=True)
+        else:
+            if running_mean is None or running_var is None:
+                raise ValueError(
+                    "running_mean and running_var required when training=False"
+                )
+            mean = _as_broadcast(running_mean, broadcast_shape)
+            variance = _as_broadcast(running_var, broadcast_shape)
+
+        if training or inv_var is None:
+            if _is_enc(variance):
+                inv_var = (variance.add(eps)).inv_sqrt()
+            else:
+                inv_var = 1.0 / np.sqrt(np.asarray(variance) + eps)
+
+        weight = _as_broadcast(weight, broadcast_shape)
+        bias = _as_broadcast(bias, broadcast_shape)
+        x_norm = x.sub(mean).mul(inv_var)
+        ctx.save_multiple_for_backward([x_norm, weight, inv_var, training])
+        return x_norm.mul(weight).add(bias)
+
+    @staticmethod
+    def backward(ctx, grad):
+        x_norm, weight, inv_var, training = ctx.saved_tensors
+        ndim = len(_shape_of(grad))
+        stats_axes = tuple(i for i in range(ndim) if i != 1)
+        broadcast_shape = [1] * ndim
+        broadcast_shape[1] = _shape_of(grad)[1]
+
+        grad_weight = grad.mul(x_norm).sum(axis=stats_axes)
+        grad_bias = grad.sum(axis=stats_axes)
+
+        gout = grad.mul(weight)
+        grad_input = gout.mul(inv_var)
+        if training:
+            n = int(np.prod([_shape_of(gout)[d] for d in stats_axes]))
+            grad_mean = gout.sum(axis=stats_axes, keepdim=True)
+            grad_mean = grad_mean.mul(_div_scalar(inv_var, -n))
+            grad_std = x_norm.mul(gout).sum(axis=stats_axes, keepdim=True)
+            grad_std = x_norm.mul(grad_std).mul(_div_scalar(inv_var, -n))
+            grad_input = grad_input.add(grad_mean).add(grad_std)
+        return (grad_input, grad_weight, grad_bias)
+
+
+def _as_broadcast(t, shape):
+    if _is_enc(t):
+        return t.view(*shape)
+    return np.asarray(t).reshape(shape)
+
+
+def _div_scalar(t, s):
+    if _is_enc(t):
+        # ring truncation only divides by positive ints; carry sign via neg
+        return t.div(abs(s)).neg() if s < 0 else t.div(s)
+    return np.asarray(t) / s
+
+
+# -- losses (reference gradients.py:2036-2161) --------------------------------
+
+@register_function("binary_cross_entropy")
+class AutogradBinaryCrossEntropy(AutogradFunction):
+    @staticmethod
+    def forward(ctx, pred, target, skip_forward=False):
+        ctx.mark_non_differentiable(target)
+        ctx.save_multiple_for_backward([pred, target])
+        if skip_forward:
+            return pred.sub(pred).sum()  # encrypted zero scalar
+        stacked = _module_stack([pred, pred.neg().add(1.0)], 0)
+        log_pos, log_neg = stacked.log(input_in_01=True).unbind(0)
+        t = target if _is_enc(target) else jnp.asarray(target)
+        one_minus_t = t.neg().add(1.0) if _is_enc(t) else 1.0 - t
+        loss = log_pos.mul(t).add(log_neg.mul(one_minus_t))
+        return loss.mean().neg()
+
+    @staticmethod
+    def backward(ctx, grad):
+        pred, target = ctx.saved_tensors
+        stacked = _module_stack([pred, pred.neg().add(1.0)], 0)
+        rec_pos, rec_neg = stacked.reciprocal(input_in_01=True).unbind(0)
+        t = target if _is_enc(target) else jnp.asarray(target)
+        one_minus_t = t.neg().add(1.0) if _is_enc(t) else 1.0 - t
+        g = rec_neg.mul(one_minus_t).sub(rec_pos.mul(t))
+        n = int(np.prod(_shape_of(pred)))
+        return (g.div(n).mul(grad), None)
+
+
+@register_function("binary_cross_entropy_with_logits")
+class AutogradBinaryCrossEntropyWithLogits(AutogradFunction):
+    @staticmethod
+    def forward(ctx, logit, target, skip_forward=False):
+        sigmoid_out = logit.sigmoid()
+        ctx.mark_non_differentiable(target)
+        ctx.save_multiple_for_backward([target, sigmoid_out])
+        if skip_forward:
+            return logit.sub(logit).sum()
+        stacked = _module_stack([sigmoid_out, sigmoid_out.neg().add(1.0)], 0)
+        log_pos, log_neg = stacked.log(input_in_01=True).unbind(0)
+        t = target if _is_enc(target) else jnp.asarray(target)
+        one_minus_t = t.neg().add(1.0) if _is_enc(t) else 1.0 - t
+        loss = log_pos.mul(t).add(log_neg.mul(one_minus_t))
+        return loss.mean().neg()
+
+    @staticmethod
+    def backward(ctx, grad):
+        target, sigmoid_out = ctx.saved_tensors
+        t = target if _is_enc(target) else jnp.asarray(target)
+        n = int(np.prod(_shape_of(sigmoid_out)))
+        return (sigmoid_out.sub(t).div(n).mul(grad), None)
+
+
+@register_function("rappor_loss")
+class AutogradRAPPORLoss(AutogradFunction):
+    """Randomized-response BCE: p' = alpha p + (1-alpha)(1-p) (reference
+    gradients.py:2090)."""
+
+    @staticmethod
+    def forward(ctx, logit, target, alpha, skip_forward=False):
+        pred = logit.sigmoid()
+        ctx.mark_non_differentiable(target)
+        if alpha == 0.0:
+            pred_normalized = pred
+            ctx.save_multiple_for_backward([target, pred, None, alpha])
+        else:
+            pred_normalized = pred.mul(alpha).add(pred.neg().add(1.0).mul(1 - alpha))
+            grad_correction = pred.mul(pred.neg().add(1.0))
+            grad_correction = grad_correction.mul(
+                pred_normalized.mul(pred_normalized.neg().add(1.0)).reciprocal(
+                    input_in_01=True
+                )
+            )
+            ctx.save_multiple_for_backward(
+                [target, pred_normalized, grad_correction, alpha]
+            )
+        if skip_forward:
+            return logit.sub(logit).sum()
+        stacked = _module_stack(
+            [pred_normalized, pred_normalized.neg().add(1.0)], 0
+        )
+        log_pos, log_neg = stacked.log(input_in_01=True).unbind(0)
+        t = target if _is_enc(target) else jnp.asarray(target)
+        one_minus_t = t.neg().add(1.0) if _is_enc(t) else 1.0 - t
+        loss = log_pos.mul(t).add(log_neg.mul(one_minus_t))
+        return loss.mean().neg()
+
+    @staticmethod
+    def backward(ctx, grad):
+        target, pred_normalized, grad_correction, alpha = ctx.saved_tensors
+        t = target if _is_enc(target) else jnp.asarray(target)
+        n = int(np.prod(_shape_of(pred_normalized)))
+        if alpha == 0.0:
+            return (pred_normalized.sub(t).div(n).mul(grad), None, None)
+        g = pred_normalized.sub(t).div(n).mul(2 * alpha - 1).mul(grad_correction)
+        return (g.mul(grad), None, None)
+
+
+@register_function("cross_entropy")
+class AutogradCrossEntropy(AutogradFunction):
+    @staticmethod
+    def forward(ctx, pred, target, skip_forward=False):
+        assert _shape_of(pred) == _shape_of(target), "target must be one-hot"
+        dim = 1 if len(_shape_of(pred)) > 1 else 0
+        sm = pred.softmax(dim)
+        ctx.save_multiple_for_backward([sm, target])
+        ctx.mark_non_differentiable(target)
+        if skip_forward:
+            return pred.sub(pred).sum()
+        t = target if _is_enc(target) else jnp.asarray(target)
+        loss = sm.log(input_in_01=True).mul(t).neg()
+        return loss.sum().div(_shape_of(pred)[0])
+
+    @staticmethod
+    def backward(ctx, grad):
+        sm, target = ctx.saved_tensors
+        t = target if _is_enc(target) else jnp.asarray(target)
+        return (sm.sub(t).div(_shape_of(sm)[0]).mul(grad), None)

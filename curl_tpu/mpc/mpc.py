@@ -265,6 +265,9 @@ class MPCTensor:
     def scatter_add(self, dim, index, other):
         return self._wrap(self._tensor.scatter_add(dim, index, _unwrap(other)))
 
+    def scatter(self, dim, index, src):
+        return self._wrap(self._tensor.scatter(dim, index, _unwrap(src)))
+
     def pad(self, pad_width, value=0):
         return self._wrap(self._tensor.pad(pad_width, value=value))
 
@@ -277,7 +280,18 @@ class MPCTensor:
     __sub__ = sub
 
     def __rsub__(self, y):
+        from ..autograd import apply_function, is_grad_enabled
+
+        if is_grad_enabled() and getattr(self, "requires_grad", False):
+            return apply_function("__rsub__", self, y)
         return self.neg().add(y)
+
+    def __rtruediv__(self, y):
+        from ..autograd import apply_function, is_grad_enabled
+
+        if is_grad_enabled() and getattr(self, "requires_grad", False):
+            return apply_function("__rtruediv__", self, y)
+        return self.reciprocal().mul(y)
 
     __mul__ = mul
     __rmul__ = mul
@@ -327,6 +341,12 @@ class MPCTensor:
 
     @staticmethod
     def stack(tensors, axis=0):
+        from ..autograd import apply_function, is_grad_enabled
+
+        if is_grad_enabled() and any(
+            getattr(t, "requires_grad", False) for t in tensors
+        ):
+            return apply_function("stack", tensors, axis)
         inner = type(tensors[0]._tensor).stack(
             [t._tensor for t in tensors], axis=axis
         )
@@ -334,6 +354,12 @@ class MPCTensor:
 
     @staticmethod
     def cat(tensors, axis=0):
+        from ..autograd import apply_function, is_grad_enabled
+
+        if is_grad_enabled() and any(
+            getattr(t, "requires_grad", False) for t in tensors
+        ):
+            return apply_function("cat", tensors, axis)
         inner = type(tensors[0]._tensor).cat([t._tensor for t in tensors], axis=axis)
         return MPCTensor(inner, tensors[0].ptype)
 

@@ -429,6 +429,24 @@ class ArithmeticSharedTensor:
             updated = _jnp_scatter_add(self.share, dim, index, other.share)
         return self.with_share(updated)
 
+    def scatter(self, dim, index, src):
+        """Replace entries at `index` along `dim` with `src` (reference
+        arithmetic.py scatter_). Both shares are local arrays, so this is a
+        communication-free write; a public src is encoded and contributed by
+        rank 0 only."""
+        if _is_public(src):
+            values = jnp.asarray(self.encoder.encode(src))
+            if comm.get_world_size() > 1:
+                mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+                values = values * mask
+        else:
+            values = src.share
+        index = jnp.asarray(index)
+        dims = jnp.meshgrid(*[jnp.arange(s) for s in index.shape], indexing="ij")
+        dims[dim] = index
+        sliced = jnp.broadcast_to(values, index.shape)
+        return self.with_share(self.share.at[tuple(dims)].set(sliced))
+
     def avg_pool2d(self, kernel_size, stride=None, padding=0, ceil_mode=False):
         if ceil_mode:
             raise NotImplementedError("ceil_mode not supported for avg_pool2d")

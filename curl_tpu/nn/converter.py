@@ -8,7 +8,9 @@ the resulting graph directly onto curl_tpu.nn modules and encrypted-tensor
 ops. This covers arbitrary forward() control flow (ResNets, custom blocks),
 not just Sequential containers.
 
-``from_onnx`` raises with guidance (no onnx runtime available here).
+``from_onnx`` parses the ONNX protobuf directly (utils/onnx_lite wire-format
+reader — no onnx package needed) and builds a Graph of onnx_ops modules,
+matching the reference's onnx path end to end.
 """
 
 from __future__ import annotations
@@ -281,11 +283,81 @@ def from_pytorch(model, dummy_input=None):
     return GraphModule(traced.graph, converted, attrs)
 
 
-def from_onnx(onnx_model):
-    raise NotImplementedError(
-        "the onnx package is not available in this environment; use "
-        "from_pytorch (torch.fx based) instead"
-    )
+class _OnnxParameter(nn_mod.Module):
+    """Graph node holding one weight tensor (the reference adds
+    module.Parameter nodes for every initializer,
+    onnx_converter.py:175-177). Encryptable like any parameter."""
+
+    def __init__(self, value):
+        super().__init__()
+        self.register_parameter("data", jnp.asarray(np.asarray(value, np.float64)))
+
+    def forward(self, _input=None):
+        return self._parameters["data"]
+
+
+def _onnx_op_class(op_type, attributes):
+    """ONNX op_type -> curl_tpu.nn module constructor
+    (reference onnx_converter.py:150-161, 252-258)."""
+    from . import onnx_ops
+
+    # names that differ between ONNX and the module surface
+    renamed = {
+        "AveragePool": lambda a: onnx_ops._Pool2d.from_onnx("average", a),
+        "MaxPool": lambda a: onnx_ops._Pool2d.from_onnx("max", a),
+        "Pad": onnx_ops._ConstantPad.from_onnx,
+        "ReduceMean": onnx_ops.Mean.from_onnx,
+        "ReduceSum": onnx_ops.Sum.from_onnx,
+        "Relu": lambda a: nn_mod.ReLU(),
+        "Sigmoid": lambda a: nn_mod.Sigmoid(),
+        "Tanh": lambda a: nn_mod.Tanh(),
+        "Gelu": lambda a: nn_mod.GELU(),
+        "Softmax": lambda a: nn_mod.Softmax((a or {}).get("axis", -1)),
+        "LogSoftmax": lambda a: nn_mod.LogSoftmax((a or {}).get("axis", -1)),
+        "Flatten": lambda a: nn_mod.Flatten((a or {}).get("axis", 1)),
+        "Dropout": lambda a: nn_mod.Dropout((a or {}).get("ratio", 0.5)),
+        "Clip": lambda a: nn_mod.Hardtanh(
+            (a or {}).get("min", -1.0), (a or {}).get("max", 1.0)
+        ),
+    }
+    if op_type in renamed:
+        return lambda attributes=None: renamed[op_type](attributes)
+    cls = getattr(onnx_ops, op_type, None)
+    if cls is not None and hasattr(cls, "from_onnx"):
+        return cls.from_onnx
+    raise ValueError(f"unsupported ONNX op {op_type}")
+
+
+def from_onnx(onnx_string_or_file):
+    """Convert a serialized ONNX model to an encryptable Graph
+    (reference: curl/nn/onnx_converter.py:42-66). The protobuf is decoded
+    by utils/onnx_lite — no onnx package needed."""
+    from ..utils import onnx_lite
+    from .onnx_ops import Graph
+
+    model = onnx_lite.load_model(onnx_string_or_file)
+    graph = model.graph
+    init_names = {t.name for t in graph.initializers}
+    input_names = [n for n in graph.inputs if n not in init_names]
+    assert len(graph.outputs) == 1, "only one output per model supported"
+
+    g = Graph(input_names, graph.outputs[0])
+    for tensor in graph.initializers:
+        g.add_module(tensor.name, _OnnxParameter(tensor.array), [])
+    for node in graph.nodes:
+        ctor = _onnx_op_class(node.op_type, node.attributes)
+        module = ctor(attributes=node.attributes)
+        outputs = list(node.outputs)
+        if node.op_type == "Dropout":
+            outputs = outputs[:1]  # drop the mask output
+        g.add_module(
+            outputs[0], module, list(node.inputs), output_names=outputs
+        )
+    # unwrap single-module graphs as the reference does
+    # (onnx_converter.py:221-229)
+    if len(g._modules) == 1:
+        return next(iter(g._modules.values()))
+    return g
 
 
 def from_tensorflow(*a, **k):

@@ -505,25 +505,37 @@ class Flatten(Module):
 
 
 class AvgPool2d(Module):
-    def __init__(self, kernel_size, stride=None, padding=0):
+    def __init__(self, kernel_size, stride=None, padding=0, ceil_mode=False):
         super().__init__()
         self.kernel_size = kernel_size
         self.stride = stride
         self.padding = padding
+        self.ceil_mode = ceil_mode
 
     def forward(self, x):
-        return x.avg_pool2d(self.kernel_size, stride=self.stride, padding=self.padding)
+        return x.avg_pool2d(
+            self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            ceil_mode=self.ceil_mode,
+        )
 
 
 class MaxPool2d(Module):
-    def __init__(self, kernel_size, stride=None, padding=0):
+    def __init__(self, kernel_size, stride=None, padding=0, ceil_mode=False):
         super().__init__()
         self.kernel_size = kernel_size
         self.stride = stride
         self.padding = padding
+        self.ceil_mode = ceil_mode
 
     def forward(self, x):
-        return x.max_pool2d(self.kernel_size, stride=self.stride, padding=self.padding)
+        return x.max_pool2d(
+            self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            ceil_mode=self.ceil_mode,
+        )
 
 
 def layernorm(x, weight, bias, eps=1e-5, dims=1):
@@ -605,10 +617,50 @@ class BatchNorm3d(_BatchNorm):
 
 
 class GroupNorm(Module):
-    """(reference module.py:3128 — also unimplemented there)"""
+    """Group normalization over (C/G, spatial) slices.
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("GroupNorm is not supported")
+    The reference stubs this out (reference module.py:3128
+    raises NotImplementedError); implemented here: reshape channels into
+    `num_groups` groups, normalize each group with the inv_sqrt LUT, then
+    apply the per-channel affine transform.
+    """
+
+    def __init__(self, num_groups, num_channels, eps=1e-5, affine=True):
+        super().__init__()
+        assert num_channels % num_groups == 0, (
+            "num_channels must be divisible by num_groups"
+        )
+        self.num_groups = num_groups
+        self.num_channels = num_channels
+        self.eps = eps
+        self.affine = affine
+        if affine:
+            self.register_parameter(
+                "weight", jnp.ones((num_channels,), jnp.float64)
+            )
+            self.register_parameter(
+                "bias", jnp.zeros((num_channels,), jnp.float64)
+            )
+
+    def forward(self, x):
+        shape = tuple(x.shape)
+        n, c = shape[0], shape[1]
+        spatial = shape[2:]
+        g = self.num_groups
+        grouped = x.reshape(n, g, (c // g) * int(np.prod(spatial)) or c // g)
+        mean = grouped.mean(axis=-1, keepdim=True)
+        variance = grouped.var(axis=-1, keepdim=True)
+        inv = (variance + self.eps).inv_sqrt()
+        normed = (grouped - mean) * inv
+        out = normed.reshape(*shape)
+        if self.affine:
+            w = self._parameters["weight"]
+            b = self._parameters["bias"]
+            bshape = (1, c) + (1,) * len(spatial)
+            w = w.view(*bshape) if curl_tpu.is_encrypted_tensor(w) else np.asarray(w).reshape(bshape)
+            b = b.view(*bshape) if curl_tpu.is_encrypted_tensor(b) else np.asarray(b).reshape(bshape)
+            out = out * w + b
+        return out
 
 
 class Embedding(Module):

@@ -1,0 +1,195 @@
+#!/usr/bin/env python3
+"""Component-level latency breakdown of the 2-party GPT-2 forward on TPU.
+
+The full fused forward measures ~3.6 s (honest device-synchronized timing,
+BENCH history). This script compiles each pipeline stage as its own program
+and times it the same way, to locate the budget:
+
+  embed      token embedding via the one-hot LUT protocol
+  block      one transformer block (LN -> attn(softmax) -> LN -> FFN(gelu))
+  lm_head    final LN + Linear(768 -> 50257)
+  vocab_sm   softmax over the vocab axis (max tournament + nexp + recip)
+plus isolated ops at GPT-2 shapes:
+  gelu_ffn   gelu on (B, T, 3072)
+  attn_sm    softmax on (B*12, T, T)
+  layernorm  on (B, T, 768)
+  ltz        comparison (A2B + SPK circuit) on (B, T, 3072)
+  beaver_mm  private matmul (B*T, 768) @ (768, 768)
+
+Usage: python scripts/profile_breakdown.py [stage ...]
+Env: SEQ (default 64), BATCH (1), REPS (3)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEQ = int(os.environ.get("SEQ", "64"))
+BATCH = int(os.environ.get("BATCH", "1"))
+REPS = int(os.environ.get("REPS", "3"))
+
+
+def _sync_factory():
+    import jax
+
+    reduce_fn = jax.jit(lambda s: s.sum())
+
+    def sync(out):
+        import jax.tree_util as jtu
+
+        leaves = jtu.tree_leaves(out)
+        return int(np.asarray(jax.device_get(reduce_fn(leaves[0]))))
+
+    return sync
+
+
+def _time(tag, step, *args, sync=None, results=None):
+    import jax
+
+    t0 = time.time()
+    out = step(jax.random.PRNGKey(7), *args)
+    sync(out)
+    compile_s = time.time() - t0
+    times = []
+    for i in range(REPS):
+        t0 = time.time()
+        out = step(jax.random.PRNGKey(8 + i), *args)
+        sync(out)
+        times.append(time.time() - t0)
+    rec = {"stage": tag, "latency_sec": round(min(times), 4),
+           "compile_sec": round(compile_s, 1), "all": [round(t, 4) for t in times]}
+    print(json.dumps(rec), flush=True)
+    results.append(rec)
+    return rec
+
+
+def main():
+    only = set(sys.argv[1:])
+
+    import jax
+
+    import curl_tpu
+    from curl_tpu import models, nn
+
+    base = os.path.join(os.path.dirname(curl_tpu.__file__), "configs")
+    curl_tpu.cfg.load_config(os.path.join(base, "default.yaml"))
+    curl_tpu.cfg.set("functions.max_method", "scan_reduction")
+    curl_tpu.init(world_size=2, seed=11)
+
+    sync = _sync_factory()
+    results = []
+    rng = np.random.default_rng(0)
+
+    def want(tag):
+        return not only or tag in only
+
+    D, H, V = 768, 12, 50257
+
+    if want("embed"):
+        m = models.GPT2(seq_len=SEQ, full=True)
+        m.encrypt(src=0)
+        emb = m._modules["tok_embed"]
+        w = emb._parameters["weight"]
+        ids = rng.integers(0, 1000, size=(BATCH, SEQ)).astype(np.float64)
+        ide = curl_tpu.cryptensor(ids, precision=0)
+
+        def f(idm, wm):
+            return idm.evaluate_embed(wm)
+
+        step = curl_tpu.compile_parties(f, 2)
+        _time("embed", step, ide.mpc, w.mpc, sync=sync, results=results)
+
+    if want("block"):
+        m = models.GPT(embed_dim=D, num_heads=H, num_blocks=1,
+                       vocab_size=V, seq_len=SEQ, full=False)
+        m.encrypt(src=0)
+        apply_fn, params = m.functional()
+        x = rng.normal(size=(BATCH, SEQ, D))
+        xe = curl_tpu.cryptensor(x)
+        step = curl_tpu.compile_parties(apply_fn, 2)
+        _time("block", step, params, xe.mpc, sync=sync, results=results)
+
+    if want("lm_head"):
+        ln = nn.LayerNorm(D)
+        fc = nn.Linear(D, V)
+        ln.encrypt(src=0)
+        fc.encrypt(src=0)
+        lp = ln._parameters
+        fp = fc._parameters
+        x = rng.normal(size=(BATCH, SEQ, D))
+        xe = curl_tpu.cryptensor(x)
+
+        def f(xm, lw, lb, fw, fb):
+            h = nn.module.layernorm(xm, lw, lb)
+            return h.matmul(fw.t()).add(fb)
+
+        step = curl_tpu.compile_parties(f, 2)
+        _time("lm_head", step, xe.mpc,
+              lp["weight"].mpc, lp["bias"].mpc,
+              fp["weight"].mpc, fp["bias"].mpc, sync=sync, results=results)
+
+    if want("vocab_sm"):
+        x = rng.normal(size=(BATCH, SEQ, V))
+        xe = curl_tpu.cryptensor(x)
+
+        def f(xm):
+            return xm.softmax(-1)
+
+        step = curl_tpu.compile_parties(f, 2)
+        _time("vocab_sm", step, xe.mpc, sync=sync, results=results)
+
+    if want("gelu_ffn"):
+        x = rng.normal(size=(BATCH, SEQ, 4 * D))
+        xe = curl_tpu.cryptensor(x)
+        step = curl_tpu.compile_parties(lambda xm: xm.gelu(), 2)
+        _time("gelu_ffn", step, xe.mpc, sync=sync, results=results)
+
+    if want("attn_sm"):
+        x = rng.normal(size=(BATCH * H, SEQ, SEQ))
+        xe = curl_tpu.cryptensor(x)
+        step = curl_tpu.compile_parties(lambda xm: xm.softmax(-1), 2)
+        _time("attn_sm", step, xe.mpc, sync=sync, results=results)
+
+    if want("layernorm"):
+        ln = nn.LayerNorm(D)
+        ln.encrypt(src=0)
+        lp = ln._parameters
+        x = rng.normal(size=(BATCH, SEQ, D))
+        xe = curl_tpu.cryptensor(x)
+
+        def f(xm, w, b):
+            return nn.module.layernorm(xm, w, b)
+
+        step = curl_tpu.compile_parties(f, 2)
+        _time("layernorm", step, xe.mpc, lp["weight"].mpc, lp["bias"].mpc,
+              sync=sync, results=results)
+
+    if want("ltz"):
+        x = rng.normal(size=(BATCH, SEQ, 4 * D))
+        xe = curl_tpu.cryptensor(x)
+        step = curl_tpu.compile_parties(lambda xm: xm.lt(0.0), 2)
+        _time("ltz", step, xe.mpc, sync=sync, results=results)
+
+    if want("beaver_mm"):
+        a = rng.normal(size=(BATCH * SEQ, D))
+        b = rng.normal(size=(D, D))
+        ae = curl_tpu.cryptensor(a)
+        be = curl_tpu.cryptensor(b)
+        step = curl_tpu.compile_parties(lambda am, bm: am.matmul(bm), 2)
+        _time("beaver_mm", step, ae.mpc, be.mpc, sync=sync, results=results)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                            "benchmarks", "results",
+                            f"breakdown_seq{SEQ}_b{BATCH}.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"# wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
