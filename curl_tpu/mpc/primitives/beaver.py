@@ -223,6 +223,42 @@ def _lut_open_shift(x_flat, size: int):
     return one_hot_r, shift
 
 
+def _lut_fastpath_available() -> bool:
+    """The gather-form LUT tuple (provider.generate_lut_masks) collapses the
+    (N, L) one-hot work to O(N); available for dealers whose tuple plaintext
+    is local to rank 0 (TFP). cfg.mpc.lut_fastpath=False forces the
+    reference one-hot-dot form (used by the round/shape conformance tests).
+    """
+    try:
+        enabled = bool(cfg.mpc.lut_fastpath)
+    except (AttributeError, TypeError):
+        enabled = True
+    return enabled and hasattr(_provider(), "generate_lut_masks")
+
+
+def _lut_gather_fast(x_flat, luts_rows, size: int):
+    """Evaluate [T[(x) mod L] for T in luts_rows] in gather form.
+
+    Identical round/byte profile to the one-hot form for the table part
+    (one batched reveal of (x - r)); the output share is an output-shaped
+    PRZS mask plus — on rank 0 only, which knows the tuple plaintext r —
+    the public-table gather at (r + shift) mod L. See
+    TrustedFirstParty.generate_lut_masks for the algebra.
+    """
+    provider = _provider()
+    r_clear, r_share, masks = provider.generate_lut_masks(
+        x_flat.shape, size, len(luts_rows)
+    )
+    z = comm.all_sum(x_flat.share - r_share.share)
+    shift = jnp.mod(ring.to_signed(z), jnp.int64(size)).astype(jnp.int32)
+    idx = jnp.mod(r_clear + shift, jnp.int32(size))
+    outs = []
+    for i, row in enumerate(luts_rows):
+        gathered = jnp.take(ring.to_ring(jnp.asarray(row)), idx, axis=0)
+        outs.append(masks[i] + _rank0(gathered))
+    return outs
+
+
 def _lut_chunk_elements() -> int:
     """Memory bound for the (N, L) one-hot intermediates (elements).
 
@@ -333,7 +369,10 @@ def evaluate_lut(x, lut):
     size = lut.shape[0]
     shape = x.shape
     x_flat = x.with_share(x.share.reshape(-1))
-    (result,) = _chunked_lut_sum(x_flat, [lut], size)
+    if _lut_fastpath_available():
+        (result,) = _lut_gather_fast(x_flat, [lut], size)
+    else:
+        (result,) = _chunked_lut_sum(x_flat, [lut], size)
     return ArithmeticSharedTensor(result.reshape(shape), x.encoder)
 
 
@@ -344,7 +383,10 @@ def evaluate_bior_lut(x, luts, scale, bias: int):
     size = luts.shape[1]
     shape = x.shape
     x_flat = x.with_share(x.share.reshape(-1))
-    lut0, lut1 = _chunked_lut_sum(x_flat, [luts[0], luts[1]], size)
+    if _lut_fastpath_available():
+        lut0, lut1 = _lut_gather_fast(x_flat, [luts[0], luts[1]], size)
+    else:
+        lut0, lut1 = _chunked_lut_sum(x_flat, [luts[0], luts[1]], size)
 
     scaling = _raw(
         ArithmeticSharedTensor(scale.share.reshape(-1), scale.encoder)

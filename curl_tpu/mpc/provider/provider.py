@@ -32,6 +32,7 @@ TRACEABLE_FUNCTIONS = [
     "wrap_rng",
     "B2A_rng",
     "generate_one_hot",
+    "generate_lut_masks",
     "egk_trunc_pr_rng",
 ]
 

@@ -106,6 +106,28 @@ class TrustedFirstParty(TupleProvider):
         one_hot_shares = _share_from_local(one_hot)
         return r_shares, one_hot_shares
 
+    def generate_lut_masks(self, tensor_size, lut_size: int, n_tables: int):
+        """Gather-form one-hot tuple: (r_clear, [r], output PRZS masks).
+
+        Algebraic compression of generate_one_hot for the TFP knowledge
+        model: the one-hot-dot sum_j oh_p[n,j]*T[(j+shift_n)%L] expands to
+        sum_j przs_p[n,j]*T[...] + (rank0)*T[(r_n+shift_n)%L]. The first
+        term is a PRZS of the output shape (any mask telescoping to zero
+        has the same joint distribution), so the dealer tuple collapses to
+        O(N): r's share plus one output-shaped mask per table. Each party's
+        view is unchanged vs the reference one-hot protocol
+        (tfp_provider.py:80-92): its own PRZS share, plus the plaintext
+        tuple for rank 0 only. r_clear is each party's LOCAL draw — only
+        rank 0's enters the share sum, and only rank 0 applies the gather.
+        """
+        r = rng.random_ring(tensor_size, "local")
+        r_clear = jnp.mod(ring.to_signed(r), jnp.int64(lut_size))
+        r_shares = _share_from_local(r_clear.view(jnp.uint64))
+        masks = jnp.stack(
+            [rng.przs_arithmetic(tuple(tensor_size)) for _ in range(n_tables)]
+        )
+        return r_clear.astype(jnp.int32), r_shares, masks
+
     def egk_trunc_pr_rng(self, size, l: int, m: int):
         """(r, r', b) randomness for EGK truncation (tfp_provider.py:94)."""
         r = rng.random_kbit(size, l - m, "local")

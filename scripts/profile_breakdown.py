@@ -143,6 +143,28 @@ def main():
         step = curl_tpu.compile_parties(f, 2)
         _time("vocab_sm", step, xe.mpc, sync=sync, results=results)
 
+    if want("vocab_max"):
+        x = rng.normal(size=(BATCH, SEQ, V))
+        xe = curl_tpu.cryptensor(x)
+        step = curl_tpu.compile_parties(
+            lambda xm: xm.max(-1, keepdim=True)[0], 2
+        )
+        _time("vocab_max", step, xe.mpc, sync=sync, results=results)
+
+    if want("vocab_exp"):
+        # exp_all_neg over the full vocab (the softmax numerator)
+        x = -np.abs(rng.normal(size=(BATCH, SEQ, V))) - 0.1
+        xe = curl_tpu.cryptensor(x)
+
+        def f(xm):
+            from curl_tpu.functions.approximations import exp
+
+            with curl_tpu.cfg.temp_override({"functions.exp_all_neg": True}):
+                return exp(xm)
+
+        step = curl_tpu.compile_parties(f, 2)
+        _time("vocab_exp", step, xe.mpc, sync=sync, results=results)
+
     if want("gelu_ffn"):
         x = rng.normal(size=(BATCH, SEQ, 4 * D))
         xe = curl_tpu.cryptensor(x)
