@@ -168,17 +168,33 @@ def _max_helper_accelerated_cascade(enc_tensor, dim=None):
     return _max_helper_double_log_reduction(reduced, dim=dim_used)
 
 
+def _pairwise_max_halving(x):
+    """One true-halving tournament level on the (even) last axis:
+    max(a, b) = b + (a - b) * (a >= b) — a single Beaver mul per pair
+    (vs the two-mul `where` select), same comparison primitive."""
+    half = x.size(x.dim() - 1) // 2
+    a = x.narrow(x.dim() - 1, 0, half)
+    b = x.narrow(x.dim() - 1, half, half)
+    keep = a.ge(b)
+    return a.sub(b).mul(keep).add(b)
+
+
 def _max_helper_scan_reduction(enc_tensor, dim=None):
-    """TPU-first butterfly tournament under lax.scan.
+    """TPU-first tournament: unrolled true-halving head + fixed-shape
+    lax.scan tail.
 
     Protocol-equivalent to log_reduction (same comparison primitive, log2 n
-    sequential rounds) but every round has an identical fixed shape, so the
-    whole reduction traces ONCE — the XLA graph is ~log2(n)x smaller than
-    the unrolled halving tree, which is what makes vocab-sized softmax
-    compile. Lanes beyond the live prefix do masked dummy work (negligible
-    on the VPU). Fresh protocol randomness per round via rng.fork.
+    sequential rounds). The head levels halve the live width for real, so
+    total comparison work is ~n instead of the pure butterfly-scan's
+    (padded/2)*log2(padded) — full padded width every round, 21x the
+    optimal count at vocab 50257 — and each select costs ONE Beaver mul
+    (b + (a-b)*(a>=b)) instead of the two-mul `where` form. Once the width
+    reaches cfg.functions.scan_fixed_width the
+    remaining levels run under ONE traced lax.scan body (fixed shape), which
+    keeps the XLA graph small enough for the remote compiler — the original
+    motivation for the scan form. Fresh protocol randomness per round via
+    rng.fork (head uses negative indices so head/tail streams never collide).
     """
-    import jax
     from jax import lax
 
     from .. import random as _rng
@@ -210,17 +226,44 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
         prec = inp.encoder.precision_bits
         x = x.pad((0, padded - n), value=-float(2 ** (61 - prec)))
 
-    strides = jnp.array([padded >> (i + 1) for i in range(k)], dtype=jnp.int32)
+    try:
+        fixed_width = int(cfg.functions.scan_fixed_width)
+    except (AttributeError, TypeError):
+        fixed_width = 1024
+    # NB: this module's `max` is the MPC reduction — clamp with builtins-free
+    # arithmetic
+    if fixed_width < 1:
+        fixed_width = 1
+
+    # -- unrolled halving head: one HLO circuit instance per level, each
+    # half the previous level's width. No rng.fork needed: unrolled levels
+    # are distinct trace-time ops, so the draw counter already gives each
+    # level fresh tuple randomness (fork is only for lax.scan bodies, which
+    # trace once).
+    width = padded
+    while width > fixed_width and width > 1:
+        x = _pairwise_max_halving(x)
+        width //= 2
+
+    if width == 1:
+        idxr = [slice(None)] * x.dim()
+        idxr[x.dim() - 1] = 0
+        return x[tuple(idxr)]
+
+    # -- fixed-shape butterfly scan tail (lanes beyond the live prefix do
+    # masked dummy work; the max lands in lane 0)
+    k_tail = int(math.ceil(math.log2(width)))
+    strides = jnp.array([width >> (i + 1) for i in range(k_tail)], dtype=jnp.int32)
 
     def body(carry, inputs):
         stride, idx = inputs
         with _rng.fork(idx):
             rolled = carry.roll(-stride, dims=carry.dim() - 1)
             keep = carry.ge(rolled)
-            new = carry.mul(keep).add(rolled.mul(keep.neg().add(1)))
+            new = carry.sub(rolled).mul(keep).add(rolled)
         return new, None
 
-    out, _ = lax.scan(body, x, (strides, jnp.arange(k)))
+    out, _ = lax.scan(body, x, (strides, jnp.arange(k_tail)))
     # max now lives in lane 0 of the last axis
     idxr = [slice(None)] * out.dim()
     idxr[out.dim() - 1] = 0

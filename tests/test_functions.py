@@ -158,6 +158,23 @@ def test_max_argmax(method):
         np.testing.assert_allclose(oh.argmax(1), x.argmax(1))
 
 
+def test_scan_reduction_halving_head():
+    """Exercise the unrolled halving head + scan tail split explicitly
+    (scan_fixed_width smaller than the padded width), including the
+    non-power-of-two padding lane and the width==1 all-head path."""
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(2, 21)) * 5  # pads to 32
+    for handoff in (1, 4, 64):
+        with curl_tpu.cfg.temp_override(
+            {"functions.max_method": "scan_reduction",
+             "functions.scan_fixed_width": handoff}
+        ):
+            mx, amx = enc(x).max(dim=1)
+            np.testing.assert_allclose(mx.get_plain_text(), x.max(1), atol=0.01)
+            np.testing.assert_allclose(
+                amx.get_plain_text().argmax(1), x.argmax(1))
+
+
 def test_max_flat():
     rng = np.random.default_rng(10)
     x = rng.normal(size=(12,)) * 5
