@@ -427,6 +427,64 @@ class Conv1d(Module):
         return out
 
 
+class _ConvTransposeNd(Module):
+    """Transposed convolution (reference module.py's ConvTranspose shims;
+    compute via MPCTensor.conv_transpose{1,2}d → ring.conv_transpose*,
+    torch IOHW weight layout)."""
+
+    _ndim = 2
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, output_padding=0, groups=1, bias=True, dilation=1):
+        super().__init__()
+        if isinstance(kernel_size, int):
+            kernel_size = (kernel_size,) * self._ndim
+        if groups != 1:
+            raise NotImplementedError("grouped conv_transpose not implemented")
+        self.stride = stride
+        self.padding = padding
+        self.output_padding = output_padding
+        self.dilation = dilation
+        self.groups = groups
+        fan_in = out_channels * int(np.prod(kernel_size))
+        # torch layout: (in_channels, out_channels/groups, *kernel)
+        self.register_parameter(
+            "weight",
+            _kaiming_uniform(
+                _init_key(), (in_channels, out_channels // groups) + tuple(kernel_size), fan_in
+            ),
+        )
+        if bias:
+            self.register_parameter(
+                "bias", _kaiming_uniform(_init_key(), (out_channels,), fan_in)
+            )
+
+    def forward(self, x):
+        op = "conv_transpose%dd" % self._ndim
+        out = getattr(x, op)(
+            self._parameters["weight"],
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+        if "bias" in self._parameters:
+            b = self._parameters["bias"]
+            bshape = (1, -1) + (1,) * self._ndim
+            b = b.reshape(*bshape) if not curl_tpu.is_encrypted_tensor(b) else b.view(*bshape)
+            out = out + b
+        return out
+
+
+class ConvTranspose1d(_ConvTransposeNd):
+    _ndim = 1
+
+
+class ConvTranspose2d(_ConvTransposeNd):
+    _ndim = 2
+
+
 class ReLU(Module):
     def forward(self, x):
         return x.relu()

@@ -68,6 +68,31 @@ def test_conv2d_module(rng):
     np.testing.assert_allclose(out, ref, atol=0.05)
 
 
+def test_conv_transpose_modules(rng):
+    import torch
+
+    m2 = nn.ConvTranspose2d(3, 2, 3, stride=2, padding=1, output_padding=1)
+    x2 = rng.normal(size=(1, 3, 4, 4))
+    w2 = np.asarray(m2._parameters["weight"]); b2 = np.asarray(m2._parameters["bias"])
+    ref2 = torch.nn.functional.conv_transpose2d(
+        torch.tensor(x2), torch.tensor(w2), torch.tensor(b2),
+        stride=2, padding=1, output_padding=1,
+    ).numpy()
+    m2.encrypt(src=0)
+    out2 = m2(curl_tpu.cryptensor(x2)).get_plain_text()
+    np.testing.assert_allclose(out2, ref2, atol=0.05)
+
+    m1 = nn.ConvTranspose1d(2, 3, 3, stride=2)
+    x1 = rng.normal(size=(1, 2, 5))
+    w1 = np.asarray(m1._parameters["weight"]); b1 = np.asarray(m1._parameters["bias"])
+    ref1 = torch.nn.functional.conv_transpose1d(
+        torch.tensor(x1), torch.tensor(w1), torch.tensor(b1), stride=2
+    ).numpy()
+    m1.encrypt(src=0)
+    out1 = m1(curl_tpu.cryptensor(x1)).get_plain_text()
+    np.testing.assert_allclose(out1, ref1, atol=0.05)
+
+
 def test_embedding_module(rng):
     m = nn.Embedding(11, 4)
     w = np.asarray(m._parameters["weight"])
