@@ -168,32 +168,31 @@ def _max_helper_accelerated_cascade(enc_tensor, dim=None):
     return _max_helper_double_log_reduction(reduced, dim=dim_used)
 
 
-def _pairwise_max_halving(x):
-    """One true-halving tournament level on the (even) last axis:
-    max(a, b) = b + (a - b) * (a >= b) — a single Beaver mul per pair
-    (vs the two-mul `where` select), same comparison primitive."""
-    half = x.size(x.dim() - 1) // 2
-    a = x.narrow(x.dim() - 1, 0, half)
-    b = x.narrow(x.dim() - 1, half, half)
-    keep = a.ge(b)
-    return a.sub(b).mul(keep).add(b)
-
-
 def _max_helper_scan_reduction(enc_tensor, dim=None):
-    """TPU-first tournament: unrolled true-halving head + fixed-shape
-    lax.scan tail.
+    """TPU-first max: chunk-fold scan head + fixed-shape butterfly tail.
 
-    Protocol-equivalent to log_reduction (same comparison primitive, log2 n
-    sequential rounds). The head levels halve the live width for real, so
-    total comparison work is ~n instead of the pure butterfly-scan's
-    (padded/2)*log2(padded) — full padded width every round, 21x the
-    optimal count at vocab 50257 — and each select costs ONE Beaver mul
-    (b + (a-b)*(a>=b)) instead of the two-mul `where` form. Once the width
-    reaches cfg.functions.scan_fixed_width the
-    remaining levels run under ONE traced lax.scan body (fixed shape), which
-    keeps the XLA graph small enough for the remote compiler — the original
-    motivation for the scan form. Fresh protocol randomness per round via
-    rng.fork (head uses negative indices so head/tail streams never collide).
+    Same comparison primitive as log_reduction, restructured for the XLA
+    compilation model. The pure butterfly-scan compared the FULL padded
+    width on every level — padded*log2(padded) comparisons, 21x the optimal
+    count at vocab 50257. Unrolling a true-halving head fixes the work but
+    instantiates one comparison-circuit subgraph per level, and circuit HLO
+    size is shape-independent — the remote compiler OOMs. This form keeps
+    exactly TWO circuit instances:
+
+      1. fold head: reshape the padded axis to (G, W) chunks
+         (W = cfg.functions.scan_fixed_width) and lax.scan an elementwise
+         running max over the G chunks — ONE traced body, ~n total
+         comparisons;
+      2. butterfly tail over the final W lanes — ONE traced body,
+         W*log2(W) comparisons.
+
+    Every select costs ONE Beaver mul (b + (a-b)*(a>=b)) instead of the
+    two-mul `where` form. Round complexity is G + log2(W) sequential
+    levels vs the reference's log2(n) — the right trade on a fused
+    single-program TPU runtime where per-level cost is work-bound, not
+    latency-bound (tune W upward for multi-host WAN deployments where
+    rounds dominate). Fresh protocol randomness per level via rng.fork
+    (fold uses indices >= 2**20 so head/tail streams never collide).
     """
     from jax import lax
 
@@ -229,26 +228,35 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
     try:
         fixed_width = int(cfg.functions.scan_fixed_width)
     except (AttributeError, TypeError):
-        fixed_width = 1024
+        fixed_width = 2048
     # NB: this module's `max` is the MPC reduction — clamp with builtins-free
-    # arithmetic
+    # arithmetic; round down to a power of two so (G, W) tiles exactly
     if fixed_width < 1:
         fixed_width = 1
+    fixed_width = 1 << int(math.floor(math.log2(fixed_width)))
 
-    # -- unrolled halving head: one HLO circuit instance per level, each
-    # half the previous level's width. No rng.fork needed: unrolled levels
-    # are distinct trace-time ops, so the draw counter already gives each
-    # level fresh tuple randomness (fork is only for lax.scan bodies, which
-    # trace once).
-    width = padded
-    while width > fixed_width and width > 1:
-        x = _pairwise_max_halving(x)
-        width //= 2
+    # -- fold head: (..., padded) -> (G, ..., W); ONE traced body folds the
+    # G chunks into a running elementwise max
+    width = padded if padded < fixed_width else fixed_width
+    groups = padded // width
+    if groups > 1:
+        d = x.dim()
+        chunked = x.reshape(*(x.size()[:-1] + (groups, width)))
+        # move the group axis to the front for lax.scan
+        chunked = chunked.permute(d - 1, *range(d - 1), d)
+        carry0 = chunked[0]
 
-    if width == 1:
-        idxr = [slice(None)] * x.dim()
-        idxr[x.dim() - 1] = 0
-        return x[tuple(idxr)]
+        def fold(carry, inputs):
+            chunk, idx = inputs
+            with _rng.fork(idx):
+                keep = carry.ge(chunk)
+                new = carry.sub(chunk).mul(keep).add(chunk)
+            return new, None
+
+        rest = chunked[1:]
+        x, _ = lax.scan(
+            fold, carry0, (rest, jnp.arange(groups - 1) + (1 << 20))
+        )
 
     # -- fixed-shape butterfly scan tail (lanes beyond the live prefix do
     # masked dummy work; the max lands in lane 0)

@@ -174,6 +174,70 @@ def test_cache_disk_roundtrip(rng, restore_cfg, tmp_path):
     provider.requests = []
 
 
+def test_separate_dealer_process(rng, restore_cfg, tmp_path):
+    """Physical dealer separation: requests are recorded party-side, the
+    dealer fills them in a SEPARATE PROCESS (scripts/dealer.py, its own
+    seed), per-party cache files are shipped back, and the party session
+    serves the online phase from them — no party ever traces the dealer's
+    sampling. Reference: curl/mpc/provider/ttp_provider.py:256-306."""
+    import os
+    import subprocess
+    import sys
+
+    from curl_tpu.mpc.provider import dealer
+
+    reinit(world_size=2)
+    provider = curl_tpu.get_default_provider()
+    provider.requests = []
+    x = rng.normal(size=(4,))
+    y = rng.normal(size=(4,))
+
+    curl_tpu.trace(True)
+    _ = (enc(x) * enc(y)).get_plain_text()
+    _ = enc(x).gelu().get_plain_text()
+    curl_tpu.trace(False)
+    assert len(provider.requests) >= 2
+    reqs = str(tmp_path / "reqs.pkl")
+    provider.save_requests(reqs)
+
+    env = dict(
+        os.environ,
+        CURL_TPU_PLATFORM="cpu",
+        CURL_TPU_COMPILE_CACHE=os.path.expanduser("~/.cache/curl_tpu/xla-cpu"),
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "dealer.py"),
+         "--requests", reqs, "--world-size", "2", "--seed", "1234",
+         "--out", str(tmp_path / "tuples")],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+    paths = [str(tmp_path / f"tuples.party{r}.npz") for r in range(2)]
+    for p in paths:
+        assert os.path.exists(p)
+
+    cache = dealer.attach_party_caches(paths)
+    assert cache.cursor == 0
+    got_mul = (enc(x) * enc(y)).get_plain_text()
+    got_gelu = enc(x).gelu().get_plain_text()
+    assert cache.cursor == len(cache.entries)
+    np.testing.assert_allclose(got_mul, x * y, atol=0.02)
+    import math
+
+    ref = x * (1 + np.vectorize(math.erf)(x / math.sqrt(2))) / 2
+    np.testing.assert_allclose(got_gelu, ref, atol=0.05)
+
+    # wrong-party / incomplete shipments fail loudly
+    with pytest.raises(ValueError, match="duplicate|missing"):
+        dealer.load_party_caches([paths[0], paths[0]])
+    with pytest.raises(ValueError, match="missing"):
+        dealer.load_party_caches([paths[1]])
+
+    provider.attach_cache(None)
+    provider.requests = []
+
+
 def test_comm_stats_counting(rng):
     reinit(world_size=2)
     curl_tpu.reset_communication_stats()
