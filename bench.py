@@ -101,6 +101,14 @@ def _run(seq):
         # fixed-shape scan tournament: ~log2(n)x smaller XLA graph for the
         # vocab softmax (protocol-equivalent rounds; see functions/maximum.py)
         curl_tpu.cfg.set("functions.max_method", "scan_reduction")
+    if "BENCH_BULK_RNG" in os.environ:
+        curl_tpu.cfg.set("mpc.bulk_rng", os.environ["BENCH_BULK_RNG"])
+    if "BENCH_LUT_FASTPATH" in os.environ:
+        curl_tpu.cfg.set("mpc.lut_fastpath", os.environ["BENCH_LUT_FASTPATH"] == "1")
+    if "BENCH_SCAN_WIDTH" in os.environ:
+        curl_tpu.cfg.set(
+            "functions.scan_fixed_width", int(os.environ["BENCH_SCAN_WIDTH"])
+        )
     curl_tpu.init(world_size=2, seed=11)
 
     model_cls = getattr(models, MODEL)

@@ -156,10 +156,55 @@ def _draw_key(generator: str, count: Optional[int] = None):
     return jax.random.fold_in(keys[generator], count)
 
 
+# Bulk draws below this many elements stay on threefry: the fixed
+# (8, 128)-tile Pallas kernel would generate >= 1024 lanes anyway, and tiny
+# draws contribute negligible HLO.
+_PALLAS_BULK_MIN_ELEMENTS = 1024
+
+
+def _bulk_rng_impl() -> str:
+    """Backend for *bulk* uniform-bits generation (key derivation is always
+    threefry — only the O(elements) expansion is swapped).
+
+    "xla" (default): jax.random.bits — threefry unrolled inline by XLA.
+      Portable, but ~200 HLO ops per draw site dominate compile time (and
+      compiler memory) for deep protocol graphs.
+    "pallas_tpu": one hardware-PRNG Mosaic kernel per draw site
+      (ops/pallas_rng.py). Streams are keyed by 64 bits derived from the
+      same fold_in(key, count) chain, so every correlation invariant
+      (PRZS, shared global randomness) is inherited unchanged — parties
+      with equal keys get equal streams, on CPU-threefry and TPU-Pallas
+      alike within a backend. Opt-in: cfg.mpc.bulk_rng.
+    """
+    from .config import cfg
+
+    try:
+        return cfg.mpc.bulk_rng or "xla"
+    except AttributeError:
+        return "xla"
+
+
+def _bits_u64(key, shape):
+    """Uniform uint64 bits from a derived key — the single bulk-draw choke
+    point for both the XLA-threefry and Pallas-hardware-PRNG paths."""
+    import numpy as np
+
+    n = int(np.prod(shape)) if shape else 1
+    if (
+        n >= _PALLAS_BULK_MIN_ELEMENTS
+        and _bulk_rng_impl() == "pallas_tpu"
+        and jax.default_backend() == "tpu"
+    ):
+        from .ops import pallas_rng
+
+        return pallas_rng.pallas_random_bits_u64(pallas_rng.seed_from_key(key), shape)
+    return jax.random.bits(key, shape, dtype=jnp.uint64)
+
+
 def random_ring(shape, generator: str = "local", count: Optional[int] = None):
     """Uniform uint64 ring element (reference: rng.py:12)."""
     k = _draw_key(generator, count)
-    return jax.random.bits(k, shape, dtype=jnp.uint64)
+    return _bits_u64(k, shape)
 
 
 def random_kbit(
@@ -169,7 +214,7 @@ def random_kbit(
     if bitlength >= 64:
         return random_ring(shape, generator, count)
     k = _draw_key(generator, count)
-    bits = jax.random.bits(k, shape, dtype=jnp.uint64)
+    bits = _bits_u64(k, shape)
     return bits >> jnp.uint64(64 - bitlength)
 
 

@@ -1,0 +1,69 @@
+"""Pallas hardware-PRNG bulk-draw path (cfg.mpc.bulk_rng = "pallas_tpu").
+
+CPU-runnable parts: config routing (pallas requested but CPU backend ->
+threefry fallback, bit-identical to bulk_rng=xla) and the threshold logic.
+The on-device properties (determinism, vmap per-lane soundness, PRZS) are
+asserted by scripts/validate_pallas_rng.py on the real TPU; re-run it after
+any kernel change. Reference analogue: curl/common/rng.py generates masks
+with torch generators — here mask generation is the compile-time hot spot,
+hence the dedicated backend knob.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import curl_tpu
+from curl_tpu import random as rng
+from curl_tpu.parallel import runner
+
+
+def _przs_prog():
+    return rng.przs_arithmetic((4, 2048))
+
+
+def test_pallas_request_on_cpu_falls_back_to_threefry():
+    """On a CPU backend the pallas knob must be a no-op (bit-identical).
+
+    The trace-time draw counter is global, so it is pinned to the same
+    start value for both runs to make the streams comparable."""
+    import itertools
+
+    rng._counter = itertools.count(10_000)
+    base = runner.run_parties(_przs_prog, 2, 123, jit=True)
+    rng._counter = itertools.count(10_000)
+    with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "pallas_tpu"}):
+        alt = runner.run_parties(_przs_prog, 2, 123, jit=True)
+    assert (np.asarray(base) == np.asarray(alt)).all()
+
+
+def test_przs_telescopes_regardless_of_bulk_rng():
+    for mode in ("xla", "pallas_tpu"):
+        with curl_tpu.cfg.temp_override({"mpc.bulk_rng": mode}):
+            out = runner.run_parties(_przs_prog, 3, 7, jit=True)
+        total = np.asarray(out).sum(axis=0, dtype=np.uint64)
+        assert (total == 0).all(), mode
+
+
+def test_small_draws_stay_on_threefry():
+    """Sub-threshold draws must not pay the kernel fixed cost; the choke
+    point routes them to jax.random.bits on every backend."""
+    keys = rng.make_party_keys(5, 2)
+    with rng.KeyContext(jax.tree.map(lambda a: a[0], keys)):
+        with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "pallas_tpu"}):
+            small = rng.random_ring((4, 4), count=42)
+        ref = rng.random_ring((4, 4), count=42)
+    assert small.dtype == jnp.uint64
+    assert (np.asarray(small) == np.asarray(ref)).all()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs real TPU")
+def test_pallas_kernel_on_device():
+    from curl_tpu.ops.pallas_rng import pallas_random_bits_u64
+
+    seeds = jnp.array([3, 9], dtype=jnp.int32)
+    a = np.asarray(jax.jit(lambda s: pallas_random_bits_u64(s, (640, 7)))(seeds))
+    b = np.asarray(jax.jit(lambda s: pallas_random_bits_u64(s, (640, 7)))(seeds))
+    assert (a == b).all()
+    assert a.dtype == np.uint64
