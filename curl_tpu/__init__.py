@@ -346,6 +346,25 @@ class CrypTensor:
     def __mod__(self, y):
         return self.mod(y)
 
+    # binary-ptype bitwise ops (no autograd; eager passthrough to MPCTensor)
+    def __xor__(self, y):
+        return _eager_run(lambda m, yy: m ^ yy, self, y)
+
+    def __and__(self, y):
+        return _eager_run(lambda m, yy: m & yy, self, y)
+
+    def __or__(self, y):
+        return _eager_run(lambda m, yy: m | yy, self, y)
+
+    def __invert__(self):
+        return _eager_run(lambda m: ~m, self)
+
+    def __lshift__(self, bits):
+        return _eager_run(lambda m: m << bits, self)
+
+    def __rshift__(self, bits):
+        return _eager_run(lambda m: m >> bits, self)
+
     def __lt__(self, y):
         return self.lt(y)
 
