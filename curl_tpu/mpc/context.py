@@ -29,7 +29,15 @@ def run_multiprocess(world_size: int, maskable: bool = False):
                 result = fn(*args, **kwargs)
             except Exception:
                 # fail-stop semantics: reference returns None when any party
-                # process fails (context.py:102-105)
+                # process fails (context.py:102-105) — but unlike a crashed
+                # subprocess we have the traceback right here, so log it
+                # instead of losing it
+                import logging
+
+                logging.getLogger("curl_tpu").exception(
+                    "run_multiprocess party function raised (returning None "
+                    "per fail-stop semantics)"
+                )
                 return None
             finally:
                 if prev is not None:

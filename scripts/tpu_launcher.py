@@ -29,7 +29,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--coordinator", required=True, help="host:port of host 0")
     parser.add_argument("--num-hosts", type=int, required=True)
@@ -37,31 +37,54 @@ def main():
     parser.add_argument("--world-size", type=int, default=None,
                         help="MPC parties (default: one per host)")
     parser.add_argument("--script", required=True)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
+    if not 0 <= args.host_id < args.num_hosts:
+        parser.error(f"--host-id {args.host_id} outside [0, {args.num_hosts})")
+    ws = args.world_size or args.num_hosts
+    if ws < 2:
+        parser.error(f"world size {ws} < 2: MPC needs at least two parties")
+    return args
 
-    import jax
 
-    jax.distributed.initialize(
-        coordinator_address=args.coordinator,
-        num_processes=args.num_hosts,
-        process_id=args.host_id,
-    )
-
+def build_mesh(devices, world_size: int):
+    """(party, data) mesh over the global device list; data axis absorbs
+    the per-party device surplus."""
     import numpy as np
     from jax.sharding import Mesh
 
-    world_size = args.world_size or args.num_hosts
-    devices = np.array(jax.devices())
+    if len(devices) < world_size:
+        raise ValueError(
+            f"{len(devices)} devices cannot host {world_size} parties"
+        )
     n_data = len(devices) // world_size
-    mesh = Mesh(
-        devices[: world_size * n_data].reshape(world_size, n_data),
+    return Mesh(
+        np.array(devices)[: world_size * n_data].reshape(world_size, n_data),
         ("party", "data"),
     )
 
-    spec = importlib.util.spec_from_file_location("protocol_script", args.script)
+
+def run_script(path, mesh, world_size):
+    spec = importlib.util.spec_from_file_location("protocol_script", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.main(mesh, world_size)
+    return mod.main(mesh, world_size)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    if args.num_hosts > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id,
+        )
+
+    world_size = args.world_size or args.num_hosts
+    mesh = build_mesh(jax.devices(), world_size)
+    run_script(args.script, mesh, world_size)
 
 
 if __name__ == "__main__":
