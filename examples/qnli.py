@@ -57,37 +57,53 @@ def hash_tokenize(question, sentence, seq_len=32, vocab=30522):
 
 
 def run_selfcheck(count, seq_len=16):
-    """Random-weight encrypted-vs-plaintext agreement check."""
+    """Random-weight encrypted-vs-plaintext agreement check: the same
+    random weights run through torch (plaintext) and through the encrypted
+    curl_tpu model; argmax must agree on every example."""
+    import torch
+    from transformers import BertConfig, BertForSequenceClassification
+
     import curl_tpu
     from curl_tpu.models.bert_classifier import BertTinyForSequenceClassification
 
     curl_tpu.init(world_size=2, seed=71)
+    torch.manual_seed(3)
+    hf = BertForSequenceClassification(
+        BertConfig(vocab_size=30522, hidden_size=128, num_hidden_layers=2,
+                   num_attention_heads=2, intermediate_size=512, num_labels=2)
+    )
+    hf.eval()
     model = BertTinyForSequenceClassification(seq_len=seq_len)
+    model.load_hf_state_dict(hf.state_dict())
+    model.encrypt(src=0)
 
-    # plaintext forward via decrypted params on numpy is exercised through
-    # the same module (params still plaintext before encrypt)
     rows = load_tsv(QNLI_TSV, count)
-    plain_logits = []
-    enc_inputs = []
+    agree = 0
     for q, s, y in rows:
         ids, types = hash_tokenize(q, s, seq_len)
-        enc_inputs.append((ids, types, y))
-
-    # encrypted pass
-    model.encrypt(src=0)
-    agree = 0
-    for ids, types, y in enc_inputs:
+        with torch.no_grad():
+            plain = int(
+                hf(input_ids=torch.tensor(ids, dtype=torch.long),
+                   token_type_ids=torch.tensor(types, dtype=torch.long))
+                .logits.argmax()
+            )
         out = model(
             curl_tpu.cryptensor(ids, precision=0),
             curl_tpu.cryptensor(types, precision=0),
         )
-        enc_pred = out.get_plain_text().argmax()
-        agree += 1  # placeholder for plaintext comparison below
-        print(f"label={y} encrypted_pred={int(enc_pred)}")
-    print(f"ran {len(enc_inputs)} encrypted QNLI examples end-to-end")
+        enc_pred = int(out.get_plain_text().argmax())
+        agree += enc_pred == plain
+        print(f"label={y} plaintext_pred={plain} encrypted_pred={enc_pred}")
+    print(f"argmax agreement: {agree}/{len(rows)}")
 
 
-def run_accuracy(model_path, count, model_size="BertTiny", seq_len=128):
+def run_accuracy(model_path, count, model_size="BertTiny", seq_len=64, chunk=25):
+    """Reference report format (examples/llms/qnli.py:54-70): plaintext
+    torch accuracy vs encrypted accuracy on the same QNLI dev rows.
+
+    The encrypted pass is batched (one eager protocol pass per `chunk`
+    examples) — per-op dispatch cost is shape-cached, so batching is the
+    difference between minutes and hours on this surface."""
     import torch
     from transformers import AutoTokenizer, BertForSequenceClassification
 
@@ -109,21 +125,31 @@ def run_accuracy(model_path, count, model_size="BertTiny", seq_len=128):
     enc_model.encrypt(src=0)
 
     rows = load_tsv(QNLI_TSV, count)
-    n = n_enc = 0
-    for q, s, y in rows:
-        inputs = tok(q[:512], s[:512], return_tensors="pt", truncation=True,
-                     max_length=seq_len, padding="max_length")
-        with torch.no_grad():
-            plain = hf(**inputs).logits.argmax().item()
+    enc_batch = tok([q for q, _, _ in rows], [s for _, s, _ in rows],
+                    return_tensors="pt", truncation=True,
+                    max_length=seq_len, padding="max_length")
+    labels = np.array([y for _, _, y in rows])
+    with torch.no_grad():
+        plain_preds = hf(**enc_batch).logits.argmax(-1).numpy()
+
+    ids = enc_batch["input_ids"].double().numpy()
+    types = enc_batch["token_type_ids"].double().numpy()
+    enc_preds = []
+    for i in range(0, len(rows), chunk):
         out = enc_model(
-            curl_tpu.cryptensor(inputs["input_ids"].double().numpy(), precision=0),
-            curl_tpu.cryptensor(inputs["token_type_ids"].double().numpy(), precision=0),
+            curl_tpu.cryptensor(ids[i:i + chunk], precision=0),
+            curl_tpu.cryptensor(types[i:i + chunk], precision=0),
         )
-        enc = int(out.get_plain_text().argmax())
-        n += plain == y
-        n_enc += enc == y
+        enc_preds.append(out.get_plain_text().argmax(-1))
+        print(f"# encrypted {min(i + chunk, len(rows))}/{len(rows)}")
+    enc_preds = np.concatenate(enc_preds)
+
     total = len(rows)
-    print(f"plaintext accuracy: {n / total:.3f}  encrypted accuracy: {n_enc / total:.3f}")
+    plain_acc = (plain_preds == labels).mean()
+    enc_acc = (enc_preds == labels).mean()
+    agree = (enc_preds == plain_preds).mean()
+    print(f"plaintext accuracy: {plain_acc:.3f}  encrypted accuracy: "
+          f"{enc_acc:.3f}  (argmax agreement {agree:.3f}, n={total})")
 
 
 if __name__ == "__main__":
