@@ -88,21 +88,33 @@ def main():
         step = curl_tpu.compile_parties(
             lambda m, n=name: getattr(m, n)(), world_size=2
         )
+        # timing must NOT trust block_until_ready: on the remote axon
+        # platform it can return before device execution completes (the
+        # round-1 headline artifact). Reduce on device and fetch the
+        # scalar — the fetch cannot return until the program has run.
+        reduce_fn = jax.jit(lambda s: s.sum())
+        sync = lambda o: np.asarray(jax.device_get(reduce_fn(o.share)))  # noqa: E731
         out = step(jax.random.PRNGKey(0), xe.mpc)  # compile
-        jax.block_until_ready(out.share)
+        sync(out)
 
         times = []
         for i in range(args.reps):
             t0 = time.time()
             out = step(jax.random.PRNGKey(i + 1), xe.mpc)
-            jax.block_until_ready(out.share)
+            sync(out)
             times.append((time.time() - t0) * 1000)
         times.sort()
 
         dec = curl_tpu.CrypTensor(out).get_plain_text()
-        abs_err = np.abs(dec - ref)
-        # cast reference to fp16 like the reference harness (benches.py:192)
-        rel = abs_err / np.maximum(np.abs(ref.astype(np.float16)), 1e-4)
+        # reference metric semantics (benches.py:148-157, 199): ref cast to
+        # fp16, rel = |out-ref|/|ref| with ref==0 mapped to 0 and infs
+        # dropped — tiny-but-nonzero refs legitimately inflate this metric
+        # (both frameworks show it; see benchmarks/results notes)
+        ref16 = ref.astype(np.float16).astype(np.float64)
+        abs_err = np.abs(dec - ref16)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rel = np.where(ref16 == 0, 0.0, np.abs((dec - ref16) / ref16))
+        rel = rel[np.isfinite(rel)]
         med = times[len(times) // 2]
         q1 = times[len(times) // 4]
         q3 = times[(3 * len(times)) // 4]
