@@ -386,15 +386,21 @@ class CrypTensor:
     __hash__ = None
 
 
-def cryptensor(value, src: int = 0, precision=None, ptype_=ptype.arithmetic):
-    """Encrypt a plaintext into a CrypTensor (reference curl/__init__.py:146)."""
+def cryptensor(value, src: int = 0, precision=None, ptype_=ptype.arithmetic,
+               requires_grad: bool = False):
+    """Encrypt a plaintext into a CrypTensor (reference curl/__init__.py:146;
+    requires_grad marks the result as an autograd leaf, as in the reference's
+    CrypTensor constructor)."""
     _require_init()
     value = jnp.asarray(value)
 
     def fn(v):
         return MPCTensor.encrypt(v, src=src, precision=precision, ptype=ptype_)
 
-    return _eager_run(fn, value)
+    out = _eager_run(fn, value)
+    if requires_grad:
+        out.requires_grad = True
+    return out
 
 
 def is_encrypted_tensor(obj) -> bool:

@@ -98,6 +98,19 @@ def reset_communication_stats():
     comm_stats.reset()
 
 
+def get_communication_stats():
+    """Snapshot of the trace-time communication counters as a plain dict.
+
+    Convenience accessor over the reference surface (the reference exposes
+    only print/reset, communicator.py:118-131; CrypTen-era code also read
+    the raw counters)."""
+    return {
+        "rounds": comm_stats.rounds,
+        "bytes": comm_stats.bytes,
+        "calls": dict(comm_stats.calls),
+    }
+
+
 def print_communication_stats():
     logging.info("====Communication Stats====")
     logging.info("Rounds: %d", comm_stats.rounds)

@@ -169,3 +169,68 @@ def test_tensorboard_dot():
     m = nn.Sequential(nn.Linear(3, 4), nn.ReLU())
     dot = graph_to_dot(m)
     assert "digraph" in dot and "Linear" in dot
+
+
+def test_get_communication_stats():
+    """Round/byte counters readable as a dict (Tutorial 5 surface)."""
+    import curl_tpu
+    from curl_tpu import comm
+
+    reinit(world_size=2)
+    comm.reset_communication_stats()
+    base = comm.get_communication_stats()
+    assert base["rounds"] == 0 and base["bytes"] == 0 and base["calls"] == {}
+
+    x = curl_tpu.cryptensor([1.0, -2.0, 3.0])
+    (x * x).get_plain_text()
+    stats = comm.get_communication_stats()
+    assert stats["rounds"] > 0 and stats["bytes"] > 0
+    assert any(stats["calls"].values())
+    # snapshot is a copy, not a live view
+    stats["calls"]["bogus"] = 99
+    assert "bogus" not in comm.get_communication_stats()["calls"]
+
+
+def test_cryptensor_requires_grad_kwarg():
+    """cryptensor(..., requires_grad=True) marks an autograd leaf
+    (reference CrypTensor constructor surface; Tutorial 7)."""
+    import curl_tpu
+
+    reinit(world_size=2)
+    x = curl_tpu.cryptensor([[1.0, 2.0], [3.0, -1.0]], requires_grad=True)
+    assert x.requires_grad
+    y = x.square().sum()
+    y.backward()
+    np.testing.assert_allclose(
+        x.grad.get_plain_text(), 2 * np.array([[1.0, 2.0], [3.0, -1.0]]),
+        atol=0.02,
+    )
+    z = curl_tpu.cryptensor([1.0])
+    assert not getattr(z, "requires_grad", False)
+
+
+def test_dashboard_generator(tmp_path):
+    """benchmarks/dashboard.py renders a self-contained HTML from the
+    in-repo result files (reference surface: benchmarks/dash_app)."""
+    import json
+    import os
+    import re
+    import subprocess
+    import sys
+
+    out = tmp_path / "dash.html"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "benchmarks", "dashboard.py"),
+         "--out", str(out)],
+        capture_output=True, text=True, check=True,
+    )
+    assert "wrote" in r.stdout
+    src = out.read_text()
+    m = re.search(r"const DATA = (.*?);\n", src, re.S)
+    data = json.loads(m.group(1))
+    assert "history" in data and "func_snapshots" in data
+    # pre-timing-fix runs must carry honest=False so the UI excludes them
+    for run in data["history"]:
+        assert run["honest"] == ("timing" in json.dumps(run) or run["honest"])
+    assert all(isinstance(r0["honest"], bool) for r0 in data["history"])
