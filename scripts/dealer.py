@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0,
                     help="dealer-local randomness seed (keep on this host)")
     ap.add_argument("--provider", default="TFP", choices=["TFP", "TTP"])
+    ap.add_argument("--engine", default="jax", choices=["jax", "native"],
+                    help="tuple generator: 'jax' replays the provider under "
+                         "vmap; 'native' uses the multithreaded C++ engine "
+                         "(native/tuple_engine.cc)")
     ap.add_argument("--config", default=None)
     args = ap.parse_args(argv)
 
@@ -53,9 +57,16 @@ def main(argv=None):
     provider = get_default_provider()
     provider.load_requests(args.requests)
 
-    entries = dealer.fill_standalone(
-        provider.requests, args.world_size, args.seed, provider=provider
-    )
+    if args.engine == "native":
+        from curl_tpu.mpc.provider import native_engine
+
+        entries = native_engine.fill_standalone_native(
+            provider.requests, args.world_size, args.seed
+        )
+    else:
+        entries = dealer.fill_standalone(
+            provider.requests, args.world_size, args.seed, provider=provider
+        )
     paths = dealer.save_party_caches(entries, args.out, args.world_size)
     for p in paths:
         print(p)

@@ -174,12 +174,14 @@ def test_cache_disk_roundtrip(rng, restore_cfg, tmp_path):
     provider.requests = []
 
 
-def test_separate_dealer_process(rng, restore_cfg, tmp_path):
+@pytest.mark.parametrize("engine", ["jax", "native"])
+def test_separate_dealer_process(rng, restore_cfg, tmp_path, engine):
     """Physical dealer separation: requests are recorded party-side, the
     dealer fills them in a SEPARATE PROCESS (scripts/dealer.py, its own
     seed), per-party cache files are shipped back, and the party session
     serves the online phase from them — no party ever traces the dealer's
-    sampling. Reference: curl/mpc/provider/ttp_provider.py:256-306."""
+    sampling. Reference: curl/mpc/provider/ttp_provider.py:256-306.
+    Parametrized over the jax fill and the native C++ tuple engine."""
     import os
     import subprocess
     import sys
@@ -209,7 +211,7 @@ def test_separate_dealer_process(rng, restore_cfg, tmp_path):
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts", "dealer.py"),
          "--requests", reqs, "--world-size", "2", "--seed", "1234",
-         "--out", str(tmp_path / "tuples")],
+         "--engine", engine, "--out", str(tmp_path / "tuples")],
         env=env, capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr
