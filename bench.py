@@ -101,14 +101,24 @@ def _run(seq):
         # fixed-shape scan tournament: ~log2(n)x smaller XLA graph for the
         # vocab softmax (protocol-equivalent rounds; see functions/maximum.py)
         curl_tpu.cfg.set("functions.max_method", "scan_reduction")
+    on_tpu = jax.default_backend() not in ("cpu",)
     if "BENCH_BULK_RNG" in os.environ:
         curl_tpu.cfg.set("mpc.bulk_rng", os.environ["BENCH_BULK_RNG"])
+    elif on_tpu:
+        # hardware PRNG kernel: fewer HLO lines and faster than unrolled
+        # threefry on the real chip (validated: scripts/validate_pallas_rng.py)
+        curl_tpu.cfg.set("mpc.bulk_rng", "pallas_tpu")
     if "BENCH_LUT_FASTPATH" in os.environ:
         curl_tpu.cfg.set("mpc.lut_fastpath", os.environ["BENCH_LUT_FASTPATH"] == "1")
     if "BENCH_SCAN_WIDTH" in os.environ:
         curl_tpu.cfg.set(
             "functions.scan_fixed_width", int(os.environ["BENCH_SCAN_WIDTH"])
         )
+    elif on_tpu and seq >= 64:
+        # the remote TPU compiler fails on the deep fold scan (W=2048 -> 31
+        # fold steps) at seq>=64; W=16384 is the best measured width that
+        # compiles there (1.14s/fwd vs 2.05s pure butterfly)
+        curl_tpu.cfg.set("functions.scan_fixed_width", 16384)
     curl_tpu.init(world_size=2, seed=11)
 
     model_cls = getattr(models, MODEL)
