@@ -660,3 +660,144 @@ def test_source_party_encoding(mpc_config, rng):
         np.testing.assert_allclose(
             curl_tpu.cryptensor(x, src=src).get_plain_text(), x, atol=Q
         )
+
+
+# ---------------------------------------------------------------------------
+# max/argmax across every method (reference test_mpc.py runs a test per
+# method: pairwise / log_reduction / double_log_reduction /
+# accelerated_cascade; scan_reduction is the TPU-first addition)
+# ---------------------------------------------------------------------------
+
+MAX_METHODS = [
+    "pairwise",
+    "log_reduction",
+    "double_log_reduction",
+    "accelerated_cascade",
+    "scan_reduction",
+]
+
+
+@pytest.mark.parametrize("method", MAX_METHODS)
+def test_max_methods(mpc_config_lite, rng, method):
+    x = _sep(rng, (3, 8))
+    with curl_tpu.cfg.temp_override({"functions.max_method": method}):
+        got, _ = enc(x).max(dim=1)
+        np.testing.assert_allclose(
+            got.get_plain_text(), x.max(1), atol=LIN_TOL
+        )
+        got_flat = enc(x).max()
+        np.testing.assert_allclose(
+            got_flat.get_plain_text(), x.max(), atol=LIN_TOL
+        )
+
+
+@pytest.mark.parametrize("method", MAX_METHODS)
+def test_argmax_methods(mpc_config_lite, rng, method):
+    x = _sep(rng, (2, 7))
+    with curl_tpu.cfg.temp_override({"functions.max_method": method}):
+        got = enc(x).argmax(dim=1, one_hot=False)
+        np.testing.assert_allclose(
+            got.get_plain_text(), x.argmax(1), atol=LIN_TOL
+        )
+        oh = enc(x).argmax(dim=1)
+        np.testing.assert_allclose(
+            oh.get_plain_text(),
+            (x == x.max(1, keepdims=True)).astype(float),
+            atol=LIN_TOL,
+        )
+
+
+@pytest.mark.parametrize("method", MAX_METHODS)
+def test_min_methods(mpc_config_lite, rng, method):
+    x = _sep(rng, (11,))
+    with curl_tpu.cfg.temp_override({"functions.max_method": method}):
+        got = enc(x).min()
+        np.testing.assert_allclose(got.get_plain_text(), x.min(), atol=LIN_TOL)
+
+
+# ---------------------------------------------------------------------------
+# scatter / index_add (reference test_mpc.py test_index_add, test_scatter)
+# ---------------------------------------------------------------------------
+
+def test_index_add(mpc_config_lite, rng):
+    x = rng.normal(size=(5, 3))
+    upd = rng.normal(size=(2, 3))
+    idx = np.array([1, 3])
+    ref = x.copy()
+    np.add.at(ref, idx, upd)
+    got = enc(x).index_add(0, idx, enc(upd)).get_plain_text()
+    np.testing.assert_allclose(got, ref, atol=LIN_TOL)
+    # public update onto an encrypted base
+    got2 = enc(x).index_add(0, idx, upd).get_plain_text()
+    np.testing.assert_allclose(got2, ref, atol=LIN_TOL)
+
+
+def test_scatter_and_scatter_add(mpc_config_lite, rng):
+    x = rng.normal(size=(4, 4))
+    src = rng.normal(size=(4, 4))
+    idx = np.stack([rng.permutation(4) for _ in range(4)])
+    ref_scatter = x.copy()
+    ref_add = x.copy()
+    for i in range(4):
+        for j in range(4):
+            ref_scatter[i, idx[i, j]] = src[i, j]
+            ref_add[i, idx[i, j]] += src[i, j]
+    got = enc(x).scatter(1, idx, enc(src)).get_plain_text()
+    np.testing.assert_allclose(got, ref_scatter, atol=LIN_TOL)
+    got_add = enc(x).scatter_add(1, idx, enc(src)).get_plain_text()
+    np.testing.assert_allclose(got_add, ref_add, atol=LIN_TOL)
+
+
+# ---------------------------------------------------------------------------
+# adaptive pooling (reference test_mpc.py test_adaptive_pooling)
+# ---------------------------------------------------------------------------
+
+def test_adaptive_pooling(mpc_config_lite, rng):
+    x = rng.normal(size=(1, 2, 8, 8))
+    got = enc(x).adaptive_avg_pool2d((4, 4)).get_plain_text()
+    ref = x.reshape(1, 2, 4, 2, 4, 2).mean(axis=(3, 5))
+    np.testing.assert_allclose(got, ref, atol=LIN_TOL)
+
+    xs = _sep(rng, (1, 1, 4, 4))
+    got_max = enc(xs).adaptive_max_pool2d((2, 2)).get_plain_text()
+    ref_max = xs.reshape(1, 1, 2, 2, 2, 2).max(axis=(3, 5))
+    np.testing.assert_allclose(got_max, ref_max, atol=LIN_TOL)
+
+
+# ---------------------------------------------------------------------------
+# clone/copy semantics + encrypt with src != 0
+# (reference test_mpc.py test_copy_clone, test_encrypt_decrypt src sweep)
+# ---------------------------------------------------------------------------
+
+def test_clone_independent(mpc_config_lite, rng):
+    x = rng.normal(size=(3,))
+    a = enc(x)
+    b = a.clone()
+    b += 1.0
+    np.testing.assert_allclose(a.get_plain_text(), x, atol=LIN_TOL)
+    np.testing.assert_allclose(b.get_plain_text(), x + 1.0, atol=LIN_TOL)
+
+
+def test_encrypt_src_nonzero(mpc_config, rng):
+    _, _, ws = mpc_config
+    x = rng.normal(size=(4,))
+    for src in range(ws):
+        got = curl_tpu.cryptensor(x, src=src).get_plain_text()
+        np.testing.assert_allclose(got, x, atol=LIN_TOL)
+
+
+# ---------------------------------------------------------------------------
+# ptype conversions through the public .to() surface
+# (reference test_mpc.py test_to / test_ptype)
+# ---------------------------------------------------------------------------
+
+def test_ptype_roundtrip(mpc_config, rng):
+    from curl_tpu.mpc import ptype as Ptype
+
+    x = np.array([1.0, -2.0, 0.5, 3.25])
+    a = enc(x)
+    assert a.ptype == Ptype.arithmetic
+    b = a.to(Ptype.binary)
+    assert b.ptype == Ptype.binary
+    back = b.to(Ptype.arithmetic)
+    np.testing.assert_allclose(back.get_plain_text(), x, atol=LIN_TOL)
