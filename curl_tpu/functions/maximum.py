@@ -219,11 +219,16 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
     padded = 1 << k
     if padded != n:
         # Pad with the most-negative decoded value whose pairwise differences
-        # stay within the 64-bit ring's sign-comparison envelope (|a-b| <
-        # 2^63): encoded -2^61. A fixed -(2^24) sentinel would silently lose
-        # to representable inputs at or below it.
+        # stay within the active comparison ring's sign envelope (|a-b| <
+        # 2^(w-1) ring units for cfg.mpc.compare_bits = w): encoded -2^(w-3).
+        # A fixed -(2^24) sentinel would silently lose to representable
+        # inputs at or below it; conversely inputs below -2^(w-3) are already
+        # outside the exact-comparison envelope, so the sentinel is as
+        # negative as any comparable input can be.
+        from ..mpc.mpc import _compare_bits
+
         prec = inp.encoder.precision_bits
-        x = x.pad((0, padded - n), value=-float(2 ** (61 - prec)))
+        x = x.pad((0, padded - n), value=-float(2 ** (_compare_bits() - 3 - prec)))
 
     try:
         fixed_width = int(cfg.functions.scan_fixed_width)

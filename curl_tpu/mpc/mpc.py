@@ -25,6 +25,53 @@ from .primitives.binary import BinarySharedTensor
 from .ptype import ptype as Ptype
 
 
+def _compare_bits() -> int:
+    """Comparison ring width (cfg.mpc.compare_bits, default 32): comparisons
+    and 2PC equality run in the 2^w subring — exact whenever
+    |value| < 2^(w-1) ring units. 64 restores the full-ring circuits."""
+    from ..config import cfg
+
+    try:
+        width = int(cfg.mpc.compare_bits)
+    except (AttributeError, TypeError, ValueError):
+        return 32
+    return width if width in (16, 32) else 64
+
+
+def _pack_narrow(share, width):
+    """Pack 64/width consecutive elements' low ``width`` bits into one uint64
+    word. Shares of a mod-2^64 secret reduce to shares of the same secret
+    mod 2^width (power-of-two subring), and segments add independently in
+    circuit.add, so one packed word carries 64/width independent narrow-ring
+    elements. Returns (packed, (orig_shape, n)) for _unpack_lanes."""
+    lanes = 64 // width
+    orig_shape = share.shape
+    n = int(np.prod(orig_shape)) if orig_shape else 1
+    flat = share.reshape((n,))
+    pad = (-n) % lanes
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    grp = flat.reshape((-1, lanes))
+    maskw = jnp.uint64((1 << width) - 1)
+    packed = grp[:, 0] & maskw
+    for lane in range(1, lanes):
+        packed = packed | ((grp[:, lane] & maskw) << jnp.uint64(lane * width))
+    return packed, (orig_shape, n)
+
+
+def _unpack_lanes(word, width, meta, lane_bit):
+    """Extract bit ``lane_bit`` of each width-lane segment of ``word`` back
+    into the original element order/shape (inverse of _pack_narrow)."""
+    orig_shape, n = meta
+    lanes = 64 // width
+    cols = [
+        (word >> jnp.uint64(lane * width + lane_bit)) & jnp.uint64(1)
+        for lane in range(lanes)
+    ]
+    flat = jnp.stack(cols, axis=-1).reshape((-1,))[:n]
+    return flat.reshape(orig_shape)
+
+
 @jax.tree_util.register_pytree_node_class
 class MPCTensor:
     __slots__ = (
@@ -158,10 +205,28 @@ class MPCTensor:
     # -- comparisons core --------------------------------------------------
     def _ltz(self):
         """1 if value < 0 else 0 (reference mpc.py:233-242): A2B, extract
-        sign bit, B2A single-bit."""
+        sign bit, B2A single-bit.
+
+        With cfg.mpc.compare_bits = w < 64 (default 32), 64/w elements are
+        packed into each 64-bit word first: arithmetic shares reduce mod 2^w
+        exactly (power-of-two subring), so the sign of the w-bit sum equals
+        the sign of the value whenever |value| < 2^(w-1) in ring units
+        (decoded |x| < 2^(w-1-precision); +/-32768 at the defaults). The
+        packed A2B adder runs log2(w) prefix levels on half the words —
+        ~2.4x less circuit work, triple material, and PRNG than the 64-bit
+        path, and identical round count."""
         precision = 0 if self.encoder.scale == 1 else None
-        b = converters.A2B(self._tensor)
-        b = b.logical_rshift(63)
+        width = _compare_bits()
+        if width >= 64:
+            b = converters.A2B(self._tensor)
+            b = b.logical_rshift(63)
+        else:
+            packed, meta = _pack_narrow(self.share, width)
+            b = converters.A2B(
+                ArithmeticSharedTensor(packed, self.encoder), width=width
+            )
+            sign = _unpack_lanes(b.share, width, meta, lane_bit=width - 1)
+            b = BinarySharedTensor(sign, self.encoder)
         arith = converters.B2A(b, precision=precision, bits=1)
         return MPCTensor(ArithmeticSharedTensor(arith.share, FixedPointEncoder(0)))
 
@@ -184,10 +249,28 @@ class MPCTensor:
 
     def _eqz_2PC(self):
         """self == 0 for 2 parties (reference mpc.py:262-274): party 0
-        shares its share, party 1 shares the negation; equality circuit."""
-        x0 = BinarySharedTensor.encrypt(self.share, src=0)
-        x1 = BinarySharedTensor.encrypt(jnp.negative(self.share), src=1)
-        eq_bits = x0.eq(x1)
+        shares its share, party 1 shares the negation; equality circuit.
+
+        Packed under cfg.mpc.compare_bits = w < 64: value == 0 iff
+        value == 0 mod 2^w given |value| < 2^(w-1), so the bitwise-equality
+        AND-tree runs log2(w) levels on half the words (same envelope as
+        _ltz)."""
+        from .primitives import circuit
+
+        width = _compare_bits()
+        if width >= 64:
+            x0 = BinarySharedTensor.encrypt(self.share, src=0)
+            x1 = BinarySharedTensor.encrypt(jnp.negative(self.share), src=1)
+            eq_bits = x0.eq(x1)
+        else:
+            packed_pos, meta = _pack_narrow(self.share, width)
+            packed_neg, _ = _pack_narrow(jnp.negative(self.share), width)
+            x0 = BinarySharedTensor.encrypt(packed_pos, src=0)
+            x1 = BinarySharedTensor.encrypt(packed_neg, src=1)
+            P = circuit._p_circuit(~(x0 ^ x1), width)
+            eq_bits = BinarySharedTensor(
+                _unpack_lanes(P.share, width, meta, lane_bit=width - 1)
+            )
         eq_bits.encoder = self.encoder
         result = converters.B2A(eq_bits, precision=0, bits=1)
         return MPCTensor(ArithmeticSharedTensor(result.share, FixedPointEncoder(0)))

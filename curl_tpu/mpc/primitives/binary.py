@@ -165,16 +165,17 @@ class BinarySharedTensor:
         return self.with_share(self.share >> jnp.uint64(bits))
 
     # -- arithmetic-over-binary --------------------------------------------
-    def add(self, y):
+    def add(self, y, width=64):
         from . import circuit
 
-        return circuit.add(self, y)
+        return circuit.add(self, y, width=width)
 
     __add__ = add
 
-    def sum(self, axis=0):
+    def sum(self, axis=0, width=64):
         """Log-tree ripple add over an axis via the SPK adder
-        (binary.py:339-362)."""
+        (binary.py:339-362). ``width < 64`` adds packed narrow-ring
+        segments independently (circuit.add)."""
         from . import circuit
 
         n = self.share.shape[axis]
@@ -187,7 +188,7 @@ class BinarySharedTensor:
             idx_b[axis] = slice(half, 2 * half)
             a = x.with_share(x.share[tuple(idx_a)])
             b = x.with_share(x.share[tuple(idx_b)])
-            added = circuit.add(a, b)
+            added = circuit.add(a, b, width=width)
             if n % 2 == 1:
                 idx_r = [slice(None)] * x.ndim
                 idx_r[axis] = slice(2 * half, n)

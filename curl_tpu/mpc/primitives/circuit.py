@@ -40,8 +40,29 @@ _MULTIPLIERS = [np.uint64(((1 << ((1 << i) + 1)) - 2) % (1 << 64)) for i in rang
 _OUT_MASKS = [np.uint64((int(m) * int(mult)) % (1 << 64)) for m, mult in zip(_MASKS, _MULTIPLIERS)]
 
 
-def _spk_circuit(S, P):
-    """Parallel-prefix SPK reduction; returns (S, P) after 6 AND levels.
+def _log2(width):
+    return {16: 4, 32: 5, 64: 6}[width]
+
+
+def _boundary_clear(width):
+    """Clear-mask for the carry bits that would cross a packed-segment
+    boundary: after ``carry << 1`` the carry out of lane k*width - 1 lands at
+    lane k*width and must be killed so each width-lane segment adds
+    independently (packed comparisons: several narrow ring elements per
+    64-bit word)."""
+    m = (1 << 64) - 1
+    for j in range(width, 64, width):
+        m ^= 1 << j
+    return np.uint64(m)
+
+
+def _spk_circuit(S, P, levels=_LOG_BITS):
+    """Parallel-prefix SPK reduction; returns (S, P) after ``levels`` AND
+    levels. The masked prefix is Sklansky-structured: after k levels each bit
+    lane holds the prefix over its aligned 2^k-lane block, so running
+    log2(width) < 6 levels yields independent per-segment prefixes for
+    64/width packed segments (no level-i arrow crosses an aligned 2^(i+1)
+    block boundary).
 
     At each level:  S <- S0 ^ (P0 & S1);  P <- P0 & P1
     (K is implied since (S, P, K) is one-hot.)
@@ -49,7 +70,7 @@ def _spk_circuit(S, P):
     from .binary import BinarySharedTensor
 
     SP = BinarySharedTensor.stack([S, P])
-    for i in range(_LOG_BITS):
+    for i in range(levels):
         in_mask = _MASKS[i]
         out_mask = _OUT_MASKS[i]
         not_out_mask = np.uint64(int(out_mask) ^ ((1 << 64) - 1))
@@ -66,11 +87,13 @@ def _spk_circuit(S, P):
     return SP[0], SP[1]
 
 
-def _p_circuit(P):
-    """AND-tree over bit lanes: result sign bit set iff all 64 bits are 1
-    (circuit.py:90-105)."""
-    shift = _BITS // 2
-    for _ in range(_LOG_BITS):
+def _p_circuit(P, width=_BITS):
+    """AND-tree over bit lanes: lane k*width - 1 ends up set iff all ``width``
+    bits of segment k are 1 (circuit.py:90-105). With width < 64 the shift
+    windows stay inside each width-lane segment at the segment-top lanes, so
+    packed words evaluate 64/width equalities at once."""
+    shift = width // 2
+    for _ in range(_log2(width)):
         P = P & (P << shift)
         shift //= 2
     return P
@@ -86,12 +109,20 @@ def _get_sign_bit(x):
     return x.logical_rshift(63)
 
 
-def add(x, y):
-    """Private 64-bit addition of XOR-shared words (circuit.py:125)."""
+def add(x, y, width=_BITS):
+    """Private addition of XOR-shared words (circuit.py:125). With
+    width < 64 each 64-bit word is treated as 64/width independent
+    width-bit adders (packed narrow-ring elements): the prefix runs
+    log2(width) levels and carries crossing segment boundaries are
+    cleared, so chained adds (multi-party A2B trees) stay exact
+    per-segment."""
     S = x & y
     P = x ^ y
-    carry, _ = _spk_circuit(S, P)
-    return P ^ (carry << 1)
+    carry, _ = _spk_circuit(S, P, levels=_log2(width))
+    shifted = carry << 1
+    if width != _BITS:
+        shifted = shifted.with_share(shifted.share & _boundary_clear(width))
+    return P ^ shifted
 
 
 def eq(x, y):

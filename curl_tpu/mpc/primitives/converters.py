@@ -20,14 +20,17 @@ from .arithmetic import ArithmeticSharedTensor
 from .binary import BinarySharedTensor
 
 
-def A2B(arithmetic_tensor: ArithmeticSharedTensor) -> BinarySharedTensor:
+def A2B(arithmetic_tensor: ArithmeticSharedTensor, width=64) -> BinarySharedTensor:
+    """``width < 64``: the word is 64/width packed width-bit ring elements;
+    the adder tree then runs log2(width) prefix levels per add with
+    boundary carries cleared (circuit.add)."""
     n = comm.get_world_size()
     if n == 1:
         return BinarySharedTensor(arithmetic_tensor.share, arithmetic_tensor.encoder)
     parts = [
         BinarySharedTensor.encrypt(arithmetic_tensor.share, src=i) for i in range(n)
     ]
-    binary_tensor = BinarySharedTensor.stack(parts).sum(axis=0)
+    binary_tensor = BinarySharedTensor.stack(parts).sum(axis=0, width=width)
     return BinarySharedTensor(binary_tensor.share, arithmetic_tensor.encoder)
 
 

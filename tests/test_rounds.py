@@ -102,12 +102,17 @@ def test_b2a_single_bit_one_reveal(rng):
     assert calls.get("all_xor", 0) == 1, calls
 
 
-def test_ltz_round_structure(xy):
-    """2PC _ltz = one SPK adder (S = x&y AND + 6 prefix-AND levels,
-    circuit.py:125-130) + the B2A single-bit open: 8 xor rounds total."""
+@pytest.mark.parametrize("bits", [32, 64])
+def test_ltz_round_structure(xy, bits):
+    """2PC _ltz = one SPK adder (S = x&y AND + log2(w) prefix-AND levels,
+    circuit.py:125-130, w = cfg.mpc.compare_bits) + the B2A single-bit
+    open: 2 + log2(w) xor rounds total (8 full-ring, 7 packed-32)."""
+    import math
+
     x, _ = xy
-    calls, _ = run_and_count(lambda a: a._ltz(), x)
-    assert calls.get("all_xor", 0) == 8, calls
+    with curl_tpu.cfg.temp_override({"mpc.compare_bits": bits}):
+        calls, _ = run_and_count(lambda a: a._ltz(), x)
+    assert calls.get("all_xor", 0) == 2 + int(math.log2(bits)), calls
     # no arithmetic reveals beyond the B2A structure
     assert calls.get("all_sum", 0) == 0, calls
 
