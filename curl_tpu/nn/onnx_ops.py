@@ -78,6 +78,14 @@ class Graph(Container):
         assert len(args) == len(self.input_names), (
             f"expected {len(self.input_names)} inputs, got {len(args)}"
         )
+        # un-encrypted inputs run through the same modules via PlainTensor
+        # (the reference's modules execute on plain torch tensors natively;
+        # module.py docstrings — here the adapter supplies that surface)
+        plain_mode = not any(_is_enc(a) for a in args)
+        if plain_mode:
+            from .plain import wrap_plain
+
+            args = tuple(wrap_plain(a) for a in args)
         values = dict(zip(self.input_names, args))
 
         # map every produced value name -> producing node
@@ -111,6 +119,14 @@ class Graph(Container):
                 module = self._modules[node]
                 inputs = [values[v] for v in self._graph.get(node, [])]
                 out = module(inputs if len(inputs) != 1 else inputs[0])
+                if plain_mode:
+                    from .plain import wrap_plain
+
+                    out = (
+                        tuple(wrap_plain(o) for o in out)
+                        if isinstance(out, tuple)
+                        else wrap_plain(out)
+                    )
                 outs = getattr(module, "_output_names", None) or [node]
                 if len(outs) == 1:
                     values[outs[0]] = out
@@ -740,12 +756,18 @@ class Gemm(Module):
     def forward(self, x):
         a, b, c = x
         if self.trans_a:
-            a = a.t()
+            a = a.t() if _is_enc(a) else jnp.asarray(a).T
         if self.trans_b:
             b = b.t() if _is_enc(b) else jnp.asarray(b).T
-        out = a.matmul(b).mul(self.alpha)
+        if _is_enc(a):
+            out = a.matmul(b).mul(self.alpha)
+        elif _is_enc(b):
+            # public @ encrypted via (b^T @ a^T)^T
+            out = b.t().matmul(jnp.asarray(a).T).t().mul(self.alpha)
+        else:
+            out = jnp.asarray(a) @ jnp.asarray(b) * self.alpha
         cm = c.mul(self.beta) if _is_enc(c) else jnp.asarray(c) * self.beta
-        return out.add(cm)
+        return out.add(cm) if _is_enc(out) else out + cm
 
     @staticmethod
     def from_onnx(attributes=None):
