@@ -688,17 +688,39 @@ def silu(self):
     raise ValueError(f"Unrecognized method {method} for silu")
 
 
-def softmax(self, dim=-1, **kwargs):
-    """max-shift -> exp(all-neg) -> reciprocal of sum (approximations.py:1150)."""
+def softmax(self, dim=-1, mask=None, **kwargs):
+    """max-shift -> exp(all-neg) -> reciprocal of sum (approximations.py:1150).
+
+    ``mask``: optional PUBLIC 0/1 array (e.g. a causal attention mask),
+    broadcastable to self. Masked-out lanes get probability exactly 0. All
+    mask handling is local (public multiplies/adds — zero protocol cost):
+    the row max is taken over unmasked lanes only (masked lanes are publicly
+    pinned to the most-negative in-envelope value so they cannot win), and
+    the exp numerator is publicly zeroed on masked lanes before
+    normalization, so LUT-domain garbage on those lanes cancels."""
     if self.dim() == 0:
         return MPCTensor.encrypt(jnp.ones(()), src=0)
     if self.size(dim) == 1:
-        return MPCTensor.encrypt(jnp.ones(self.shape), src=0)
+        out = jnp.ones(self.shape)
+        if mask is not None:
+            out = out * jnp.asarray(mask)
+        return MPCTensor.encrypt(out, src=0)
 
-    maximum_value = self.max(dim, keepdim=True)[0]
+    if mask is not None:
+        from ..mpc.mpc import _compare_bits
+
+        mask = jnp.asarray(mask).astype(jnp.float64)
+        prec = self.encoder.precision_bits
+        neg = -float(2 ** (_compare_bits() - 3 - prec))
+        shifted = self.mul(mask).add((1.0 - mask) * neg)
+        maximum_value = shifted.max(dim, keepdim=True)[0]
+    else:
+        maximum_value = self.max(dim, keepdim=True)[0]
     logits = self - maximum_value
     with cfg.temp_override({"functions.exp_all_neg": True}):
         numerator = logits.exp()
+    if mask is not None:
+        numerator = numerator.mul(mask)
     with cfg.temp_override({"functions.reciprocal_all_pos": True}):
         inv_denominator = numerator.sum(axis=dim, keepdim=True).reciprocal()
     return numerator * inv_denominator

@@ -16,11 +16,11 @@ from .. import nn
 
 class GPT(nn.Module):
     class Block(nn.Module):
-        def __init__(self, embed_dim, num_heads):
+        def __init__(self, embed_dim, num_heads, causal=False):
             super().__init__()
             self.ln1 = nn.LayerNorm(embed_dim)
             self.ln2 = nn.LayerNorm(embed_dim)
-            self.attn = nn.Attention(embed_dim, num_heads)
+            self.attn = nn.Attention(embed_dim, num_heads, causal=causal)
             self.ff = nn.Sequential(
                 nn.Linear(embed_dim, embed_dim * 4),
                 nn.GELU(),
@@ -33,7 +33,7 @@ class GPT(nn.Module):
             return x
 
     def __init__(self, embed_dim, num_heads, num_blocks, vocab_size, seq_len,
-                 full=True):
+                 full=True, causal=False):
         super().__init__()
         self.full = full
         self.embed_dim = embed_dim
@@ -47,7 +47,8 @@ class GPT(nn.Module):
                 "pos_embed", jnp.zeros((1, seq_len, embed_dim), jnp.float64)
             )
         self.blocks = nn.Sequential(
-            *[GPT.Block(embed_dim, num_heads) for _ in range(num_blocks)]
+            *[GPT.Block(embed_dim, num_heads, causal=causal)
+              for _ in range(num_blocks)]
         )
         if full:
             self.ln = nn.LayerNorm(embed_dim)

@@ -739,18 +739,27 @@ class Embedding(Module):
 
 
 class Attention(Module):
-    """Fused multi-head attention block (reference module.py:1968-1996)."""
+    """Fused multi-head attention block (reference module.py:1968-1996).
 
-    def __init__(self, embed_dim, num_heads):
+    ``causal=True`` applies a public lower-triangular mask inside the
+    softmax (masked lanes get probability exactly 0; zero protocol cost —
+    see functions/approximations.py softmax). The reference module is
+    non-causal; the flag is the additive piece that makes autoregressive
+    generation (examples/generate.py) correct."""
+
+    def __init__(self, embed_dim, num_heads, causal=False):
         super().__init__()
         assert embed_dim % num_heads == 0, "invalid heads and embedding dimension"
         self.embed_dim = embed_dim
         self.num_heads = num_heads
         self.search_dim = embed_dim // num_heads
+        self.causal = causal
         self.search = Linear(embed_dim, 3 * embed_dim)
         self.proj = Linear(embed_dim, embed_dim)
 
     def forward(self, x):
+        import jax.numpy as jnp
+
         batch_size, seq_len = x.shape[0], x.shape[1]
         qkv = self.search(x)
         query, key, value = qkv.split(self.embed_dim, dim=2)
@@ -759,6 +768,10 @@ class Attention(Module):
         value = value.reshape(batch_size, seq_len, self.num_heads, self.search_dim).transpose(1, 2)
 
         attn = query.matmul(key) / math.sqrt(self.search_dim)
-        attn = attn.softmax(-1)
+        if self.causal:
+            mask = jnp.tril(jnp.ones((seq_len, seq_len), jnp.float64))
+            attn = attn.softmax(-1, mask=mask)
+        else:
+            attn = attn.softmax(-1)
         y = attn.matmul(value).transpose(1, 2).reshape(batch_size, seq_len, self.embed_dim)
         return self.proj(y)
