@@ -70,6 +70,8 @@ from .mpc import MPCTensor, get_default_provider  # noqa: E402
 from .mpc.ptype import ptype  # noqa: E402
 from . import functions  # noqa: E402  (patches ops onto MPCTensor)
 from .autograd import enable_grad, is_grad_enabled, no_grad  # noqa: E402
+from . import lazy as _lazy  # noqa: E402
+from .lazy import lazy  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -129,13 +131,23 @@ def _fresh_keys():
     )
 
 
-def _eager_run(fn, *args):
+def _eager_run(fn, *args, _jit=False):
     """Run a per-party protocol fn eagerly over the session's party axis.
 
     args: CrypTensor (stacked shares, vmapped) or anything else (public,
     broadcast). Returns CrypTensor-wrapped outputs.
+
+    Inside a ``with curl_tpu.lazy():`` scope, ops are RECORDED (abstract
+    shape-eval only, no device dispatch) and the whole graph executes as one
+    fused jitted program at first materialization — the TPU answer to
+    per-op eager dispatch round-tripping the host<->device tunnel (~30 ms
+    per op on the remote platform). ``_jit=True`` is that flush path.
     """
     _require_init()
+    if _lazy._tape is not None:
+        recorded = _lazy._tape.record(fn, args)
+        if recorded is not _lazy.FALLBACK:
+            return recorded
     keys = _fresh_keys()
     vals, in_axes = [], []
     for a in args:
@@ -155,9 +167,12 @@ def _eager_run(fn, *args):
             with mpc_context(party_keys, ws):
                 return fn(*inner)
 
-        out = jax.vmap(
+        mapped = jax.vmap(
             party_fn, in_axes=(0,) + tuple(in_axes), axis_name=comm.PARTY_AXIS
-        )(keys, *vals)
+        )
+        if _jit:
+            mapped = jax.jit(mapped)
+        out = mapped(keys, *vals)
     else:
         from .mpc.provider.provider import TupleCache
 
@@ -178,9 +193,12 @@ def _eager_run(fn, *args):
                     consumed[0] = view.cursor
                     provider.attach_serving_cache(None)
 
-        out = jax.vmap(
+        mapped = jax.vmap(
             party_fn, in_axes=(0, 0) + tuple(in_axes), axis_name=comm.PARTY_AXIS
-        )(keys, remaining, *vals)
+        )
+        if _jit:
+            mapped = jax.jit(mapped)
+        out = mapped(keys, remaining, *vals)
         host_cache.cursor += consumed[0]
     return jax.tree_util.tree_map(
         _wrap_out, out, is_leaf=lambda x: isinstance(x, MPCTensor)
@@ -207,19 +225,53 @@ class CrypTensor:
     """
 
     def __init__(self, mpc: MPCTensor):
-        self.mpc = mpc
+        self._mpc = mpc
+        self._abs = None        # abstract MPCTensor (lazy-pending only)
+        self._tape = None       # owning lazy.Tape while pending
+        self._node_idx = None
+        self._leaf_idx = None
         self.requires_grad = False
         self.grad = None
         self.grad_fn = None
 
+    @classmethod
+    def _pending(cls, abs_mpc, tape, node_idx, leaf_idx):
+        """Placeholder for a lazily-recorded op output (curl_tpu.lazy):
+        shape/ptype queries are served from the abstract value; .mpc access
+        flushes the tape."""
+        t = cls.__new__(cls)
+        t._mpc = None
+        t._abs = abs_mpc
+        t._tape = tape
+        t._node_idx = node_idx
+        t._leaf_idx = leaf_idx
+        t.requires_grad = False
+        t.grad = None
+        t.grad_fn = None
+        return t
+
+    @property
+    def mpc(self) -> MPCTensor:
+        if self._mpc is None:
+            self._tape.flush()
+            assert self._mpc is not None, "lazy flush did not fill this tensor"
+        return self._mpc
+
+    @mpc.setter
+    def mpc(self, value):
+        self._mpc = value
+        self._tape = None
+
     # -- structure (host-side, no protocol) --------------------------------
     @property
     def shape(self):
-        return self.mpc.shape[1:]  # drop party dim
+        src = self._mpc if self._mpc is not None else self._abs
+        return src.shape[1:]  # drop party dim
 
     @property
     def ndim(self):
-        return self.mpc.ndim - 1
+        src = self._mpc if self._mpc is not None else self._abs
+        return src.ndim - 1
 
     def size(self, dim=None):
         return self.shape if dim is None else self.shape[dim]
@@ -238,14 +290,17 @@ class CrypTensor:
 
     @property
     def encoder(self):
-        return self.mpc.encoder
+        src = self._mpc if self._mpc is not None else self._abs
+        return src.encoder
 
     @property
     def ptype(self):
-        return self.mpc.ptype
+        src = self._mpc if self._mpc is not None else self._abs
+        return src.ptype
 
     def __repr__(self):
-        return f"CrypTensor(shape={self.shape}, ptype={self.mpc.ptype})"
+        state = "" if self._mpc is not None else ", pending"
+        return f"CrypTensor(shape={self.shape}, ptype={self.ptype}{state})"
 
     def __len__(self):
         return self.shape[0]
