@@ -108,6 +108,14 @@ def _run(seq):
         # hardware PRNG kernel: fewer HLO lines and faster than unrolled
         # threefry on the real chip (validated: scripts/validate_pallas_rng.py)
         curl_tpu.cfg.set("mpc.bulk_rng", "pallas_tpu")
+    if "BENCH_FUSED_MAX" in os.environ:
+        if os.environ["BENCH_FUSED_MAX"] == "1":
+            curl_tpu.cfg.set("mpc.fused_max_step", "pallas_tpu")
+    elif on_tpu:
+        # fused tournament step: packed compare + B2A + select in one
+        # kernel, all randomness from the hardware PRNG
+        # (ops/pallas_max_step.py; validated by scripts/validate_fused_max.py)
+        curl_tpu.cfg.set("mpc.fused_max_step", "pallas_tpu")
     if "BENCH_LUT_FASTPATH" in os.environ:
         curl_tpu.cfg.set("mpc.lut_fastpath", os.environ["BENCH_LUT_FASTPATH"] == "1")
     if "BENCH_SCAN_WIDTH" in os.environ:

@@ -94,6 +94,17 @@ def _count(name, *arrays):
     comm_stats.calls[name] = comm_stats.calls.get(name, 0) + 1
 
 
+def register_virtual(name, nbytes, rounds=1):
+    """Account communication a fused kernel performs internally: the same
+    messages/bytes as the composable protocol path, executed inside one
+    device kernel (e.g. ops/pallas_max_step.py). Keeps trace-time
+    round/byte profiles honest when fusion is enabled."""
+    for _ in range(rounds):
+        comm_stats.rounds += 1
+        comm_stats.calls[name] = comm_stats.calls.get(name, 0) + 1
+    comm_stats.bytes += int(nbytes)
+
+
 def reset_communication_stats():
     comm_stats.reset()
 

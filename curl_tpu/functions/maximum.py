@@ -168,6 +168,36 @@ def _max_helper_accelerated_cascade(enc_tensor, dim=None):
     return _max_helper_double_log_reduction(reduced, dim=dim_used)
 
 
+def _use_fused_max_step():
+    """cfg.mpc.fused_max_step = "pallas_tpu": run each tournament step
+    (compare + select) as one fused TPU kernel (ops/pallas_max_step.py).
+    2PC simulated-party runtime only; requires a TPU backend."""
+    import jax
+
+    from .. import comm
+
+    try:
+        enabled = cfg.mpc.fused_max_step == "pallas_tpu"
+    except AttributeError:
+        return False
+    return (
+        enabled
+        and comm.get_world_size() == 2
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _tournament_select(carry, rolled, fused):
+    """new = rolled + (carry >= rolled) * (carry - rolled) — one compare +
+    one single-mul select, optionally fused into one TPU kernel."""
+    if fused:
+        from ..ops.pallas_max_step import fused_max_step_mpc
+
+        return fused_max_step_mpc(carry, rolled)
+    keep = carry.ge(rolled)
+    return carry.sub(rolled).mul(keep).add(rolled)
+
+
 def _max_helper_scan_reduction(enc_tensor, dim=None):
     """TPU-first max: chunk-fold scan head + fixed-shape butterfly tail.
 
@@ -240,6 +270,8 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
         fixed_width = 1
     fixed_width = 1 << int(math.floor(math.log2(fixed_width)))
 
+    fused = _use_fused_max_step()
+
     # -- fold head: (..., padded) -> (G, ..., W); ONE traced body folds the
     # G chunks into a running elementwise max
     width = padded if padded < fixed_width else fixed_width
@@ -254,8 +286,7 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
         def fold(carry, inputs):
             chunk, idx = inputs
             with _rng.fork(idx):
-                keep = carry.ge(chunk)
-                new = carry.sub(chunk).mul(keep).add(chunk)
+                new = _tournament_select(carry, chunk, fused)
             return new, None
 
         rest = chunked[1:]
@@ -272,8 +303,7 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
         stride, idx = inputs
         with _rng.fork(idx):
             rolled = carry.roll(-stride, dims=carry.dim() - 1)
-            keep = carry.ge(rolled)
-            new = carry.sub(rolled).mul(keep).add(rolled)
+            new = _tournament_select(carry, rolled, fused)
         return new, None
 
     out, _ = lax.scan(body, x, (strides, jnp.arange(k_tail)))
