@@ -205,8 +205,8 @@ def _kernel_call(cl0, ch0, cl1, ch1, rl0, rh0, rl1, rh1, seeds):
         (cl0r, ch0r, cl1r, ch1r, rl0r, rh0r, rl1r, rh1r,
          ol0r, oh0r, ol1r, oh1r) = refs
         t = pl.program_id(0)
-        m0 = jnp.int32(-1640531527)
-        m1 = jnp.int32(-2048144789)
+        m0 = np.int32(-1640531527)
+        m1 = np.int32(-2048144789)
         pltpu.prng_seed(seed_ref[0] ^ (t * m0), seed_ref[1] ^ ((t + 1) * m1))
 
         def rbits():
@@ -215,8 +215,8 @@ def _kernel_call(cl0, ch0, cl1, ch1, rl0, rh0, rl1, rh1, seeds):
             return lo, hi
 
         def rbit():
-            a = pltpu.prng_random_bits((tr, 128)) & jnp.uint32(1)
-            b = pltpu.prng_random_bits((tr, 128)) & jnp.uint32(1)
+            a = pltpu.prng_random_bits((tr, 128)) & np.uint32(1)
+            b = pltpu.prng_random_bits((tr, 128)) & np.uint32(1)
             return jnp.stack([a, b])
 
         c0 = (cl0r[...], ch0r[...])

@@ -13,9 +13,12 @@ both, so the kernel math is fully validated off-device.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars (not jnp arrays): Pallas kernels reject captured
+# device-array constants; np scalars bake into the jaxpr as literals
+U32 = np.uint32
+_MASK16 = np.uint32(0xFFFF)
 
 
 def from_u64(x):
@@ -43,19 +46,19 @@ def or_(a, b):
 
 
 def not_(a):
-    full = jnp.uint32(0xFFFFFFFF)
+    full = np.uint32(0xFFFFFFFF)
     return a[0] ^ full, a[1] ^ full
 
 
 def and_const(a, c64):
-    lo_c = jnp.uint32(c64 & 0xFFFFFFFF)
-    hi_c = jnp.uint32((c64 >> 32) & 0xFFFFFFFF)
+    lo_c = np.uint32(c64 & 0xFFFFFFFF)
+    hi_c = np.uint32((c64 >> 32) & 0xFFFFFFFF)
     return a[0] & lo_c, a[1] & hi_c
 
 
 def xor_const(a, c64):
-    lo_c = jnp.uint32(c64 & 0xFFFFFFFF)
-    hi_c = jnp.uint32((c64 >> 32) & 0xFFFFFFFF)
+    lo_c = np.uint32(c64 & 0xFFFFFFFF)
+    hi_c = np.uint32((c64 >> 32) & 0xFFFFFFFF)
     return a[0] ^ lo_c, a[1] ^ hi_c
 
 
@@ -134,5 +137,5 @@ def mul(a, b):
 
 def select_bit(t, a, b):
     """t ? a : b with t a 0/1 uint32 mask (elementwise, both planes)."""
-    m = jnp.uint32(0) - t  # 0 or 0xffffffff
+    m = np.uint32(0) - t  # 0 or 0xffffffff
     return (b[0] ^ ((a[0] ^ b[0]) & m), b[1] ^ ((a[1] ^ b[1]) & m))
