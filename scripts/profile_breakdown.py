@@ -79,6 +79,23 @@ def main():
     base = os.path.join(os.path.dirname(curl_tpu.__file__), "configs")
     curl_tpu.cfg.load_config(os.path.join(base, "default.yaml"))
     curl_tpu.cfg.set("functions.max_method", "scan_reduction")
+    # mirror bench.py's knobs so stage profiles match the headline config
+    if "BENCH_SCAN_WIDTH" in os.environ:
+        curl_tpu.cfg.set(
+            "functions.scan_fixed_width", int(os.environ["BENCH_SCAN_WIDTH"])
+        )
+    if os.environ.get("BENCH_FUSED_MAX", "1") == "1":
+        import jax as _jax
+
+        if _jax.default_backend() not in ("cpu",):
+            curl_tpu.cfg.set("mpc.fused_max_step", "pallas_tpu")
+    if "BENCH_BULK_RNG" in os.environ:
+        curl_tpu.cfg.set("mpc.bulk_rng", os.environ["BENCH_BULK_RNG"])
+    else:
+        import jax as _jax
+
+        if _jax.default_backend() not in ("cpu",):
+            curl_tpu.cfg.set("mpc.bulk_rng", "pallas_tpu")
     curl_tpu.init(world_size=2, seed=11)
 
     sync = _sync_factory()
