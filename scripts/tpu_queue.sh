@@ -1,0 +1,17 @@
+#!/bin/bash
+# Serial TPU job queue for round-2 measurements (run when the tunnel is up).
+# Usage: bash scripts/tpu_queue.sh [logfile]
+# Each stage is independently timeout-guarded; failures don't stop the queue.
+set -u
+LOG=${1:-benchmarks/results/tpu_queue_$(date +%m%d_%H%M).log}
+cd "$(dirname "$0")/.."
+run() {
+  echo "=== $* === $(date)" | tee -a "$LOG"
+  timeout 7200 "$@" 2>&1 | grep -vE "machine feat|cpu_aot|WARNING" | tail -15 | tee -a "$LOG"
+}
+run python -u scripts/validate_fused_max.py
+BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 run python -u bench.py
+BENCH_SEQ=64 SEQ=64 BENCH_SCAN_WIDTH=2048 run python -u scripts/profile_breakdown.py vocab_max vocab_exp block lm_head embed gelu_ffn attn_sm layernorm beaver_mm
+BENCH_BATCH=8 BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
+BENCH_MODEL=GPTNeo BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
+echo "QUEUE DONE $(date)" | tee -a "$LOG"
