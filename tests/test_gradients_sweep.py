@@ -717,9 +717,16 @@ def test_every_registered_function_has_a_case():
 @pytest.mark.parametrize("name", sorted(_CASES))
 def test_gradcheck(name):
     # reseed per case (stable hash) so draws don't depend on which subset
-    # of cases runs in the session
+    # of cases runs in the session — including the PROTOCOL randomness:
+    # the eager session counter advances with every prior op in the whole
+    # pytest run, so without re-init a borderline LUT cell can flip only
+    # in full-suite order (the silu flake)
     import zlib
 
+    import curl_tpu
+
+    seed = zlib.crc32(name.encode())
+    curl_tpu.init(world_size=2, seed=seed)
     global _R
-    _R = np.random.default_rng(zlib.crc32(name.encode()))
+    _R = np.random.default_rng(seed)
     _CASES[name]()
