@@ -12,6 +12,7 @@ run() {
 run python -u scripts/validate_fused_max.py
 BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 run python -u bench.py
 BENCH_SEQ=64 SEQ=64 BENCH_SCAN_WIDTH=2048 run python -u scripts/profile_breakdown.py vocab_max vocab_exp block lm_head embed gelu_ffn attn_sm layernorm beaver_mm
+BENCH_CACHE=1 BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
 BENCH_BATCH=8 BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
 BENCH_MODEL=GPTNeo BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
 echo "QUEUE DONE $(date)" | tee -a "$LOG"
