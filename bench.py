@@ -186,7 +186,10 @@ def _run(seq):
             apply_fn, 2, 99, params, xe.mpc
         )
         cache = fill(jax.random.PRNGKey(98))
-        jax.block_until_ready(cache)
+        # force completion of the offline fill before timing the online step
+        from curl_tpu.utils.timing import device_sync
+
+        device_sync(jax.tree_util.tree_leaves(cache)[0])
         step = lambda key, p, xm: online(key, cache, p, xm)  # noqa: E731
     else:
         step = curl_tpu.compile_parties(apply_fn, world_size=2)

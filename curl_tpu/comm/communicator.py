@@ -45,6 +45,12 @@ PARTY_AXIS = "party"
 # curl_tpu.init / runners); collectives need it for ring permutations.
 _WORLD_SIZE = 1
 
+# which binding is executing protocol code: "vmap" (simulated parties on one
+# chip — the party axis is a vmap axis) or "shard_map" (one party per
+# device). Some fused kernels rely on the party axis being a *vmap* axis
+# (custom_vmap batching rules) and must not engage under shard_map.
+_RUNTIME = "vmap"
+
 
 def set_world_size(n: int):
     global _WORLD_SIZE
@@ -53,6 +59,16 @@ def set_world_size(n: int):
 
 def get_world_size() -> int:
     return _WORLD_SIZE
+
+
+def set_runtime(kind: str):
+    global _RUNTIME
+    assert kind in ("vmap", "shard_map"), kind
+    _RUNTIME = kind
+
+
+def get_runtime() -> str:
+    return _RUNTIME
 
 
 def rank():

@@ -136,7 +136,10 @@ def log(self, input_in_01=False):
         # — a=100 overflows the table for u > 0.64 (latent bug in the
         # reference's default config). Pick a = table max instead.
         if cfg.functions.log_method in ("haar", "bior"):
-            a = float(2 ** cfg.functions.log_lut_max_bits)
+            # strictly below 2^max_bits: u == 1.0 exactly must not land ON
+            # the table upper bound, where the mod-L LUT index wraps to
+            # bucket 0 (log(1) would decode as the most-negative entry)
+            a = float(2 ** cfg.functions.log_lut_max_bits) - 1.0
         else:
             a = 100.0
         return log(self.mul(a)) - math.log(a)

@@ -183,6 +183,9 @@ def _use_fused_max_step():
     return (
         enabled
         and comm.get_world_size() == 2
+        and comm.get_runtime() == "vmap"  # kernel math lives in a
+        # custom_vmap batching rule over the party axis; under shard_map
+        # there is no vmap axis and the unbatched primal would run
         and jax.default_backend() == "tpu"
     )
 

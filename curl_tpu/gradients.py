@@ -1238,7 +1238,8 @@ class AutogradPosPow(AutogradFunction):
         saved, p, integral = ctx.saved_tensors
         if integral:
             return saved.pow(int(p) - 1).mul(p).mul(grad)
-        return saved.mul(p - 1.0).mul(p).exp().mul(grad)
+        # d/dx x^p = p * x^(p-1) = p * exp((p-1) * log x); saved = log x
+        return saved.mul(p - 1.0).exp().mul(p).mul(grad)
 
 
 @register_function("cosine_similarity")
@@ -1291,6 +1292,8 @@ class AutogradNorm(AutogradFunction):
         a, norm, p, dim, keepdim = ctx.saved_tensors
         if not keepdim and dim is not None:
             grad = grad.unsqueeze(dim)
+            if p != float("inf"):
+                norm = norm.unsqueeze(dim)
         if p == 2 or p == "fro":
             return grad.mul(a.div(norm))
         if p == float("inf"):

@@ -38,6 +38,29 @@ def _as_int_list(v):
     return [int(x) for x in np.asarray(v).reshape(-1).tolist()]
 
 
+def _scalar_or_tuple(vals):
+    """[v] -> v, [v1, v2, ...] -> (v1, v2, ...): keep per-dim values intact
+    instead of silently collapsing to element [0]."""
+    vals = list(vals)
+    return vals[0] if len(vals) == 1 else tuple(vals)
+
+
+def _onnx_symmetric_pads(pads):
+    """ONNX pads [x1_begin, x2_begin, ..., x1_end, x2_end] -> per-dim
+    symmetric values; asymmetric padding is not supported by the conv/pool
+    kernels, so raise rather than silently applying the begin value."""
+    pads = _as_int_list(pads)
+    if len(pads) % 2 == 0 and len(pads) > 1:
+        half = len(pads) // 2
+        begin, end = pads[:half], pads[half:]
+        if begin != end:
+            raise NotImplementedError(
+                f"asymmetric ONNX pads {pads} are not supported"
+            )
+        return begin
+    return pads
+
+
 # ---------------------------------------------------------------------------
 # containers (reference module.py:599-930)
 # ---------------------------------------------------------------------------
@@ -427,16 +450,21 @@ class Squeeze(Module):
     def __init__(self, dimension):
         super().__init__()
         dims = _as_int_list(dimension)
-        assert dims is None or len(dims) == 1, "squeeze one dimension at a time"
-        self.dimension = dims[0] if dims else None
+        self.dimension = dims[0] if dims and len(dims) == 1 else dims
 
     def forward(self, x):
-        return x.squeeze(self.dimension)
+        dims = self.dimension
+        if dims is None or isinstance(dims, int):
+            return x.squeeze(dims)
+        # multiple axes: squeeze from the highest so indices stay valid
+        ndim = len(x.shape)
+        for d in sorted((d % ndim for d in dims), reverse=True):
+            x = x.squeeze(d)
+        return x
 
     @staticmethod
     def from_onnx(attributes=None):
-        dims = (attributes or {}).get("axes", [None])
-        return Squeeze(dims[0])
+        return Squeeze((attributes or {}).get("axes"))
 
 
 class Unsqueeze(Module):
@@ -502,9 +530,20 @@ class Slice(Module):
         out = x
         for start, end, axis in zip(starts, ends, axes):
             n = out.size(axis) if hasattr(out, "size") else out.shape[axis]
-            n = n if not callable(n) else n
-            length = min(end, int(n)) - start
-            out = out.narrow(int(axis), int(start), int(length))
+            n = int(n if not callable(n) else n)
+            # ONNX semantics: negative indices count from the end; ends is
+            # clamped to n (exporters emit INT64_MAX / -INT64_MAX sentinels)
+            start, end = int(start), int(end)
+            if start < 0:
+                start = max(start + n, 0)
+            else:
+                start = min(start, n)
+            if end < 0:
+                end = max(end + n, 0)
+            else:
+                end = min(end, n)
+            length = max(end - start, 0)
+            out = out.narrow(int(axis), start, length)
         return out
 
     @staticmethod
@@ -696,8 +735,10 @@ class Gather(Module):
     @staticmethod
     def from_onnx(attributes=None):
         attributes = attributes or {}
+        # ONNX Gather's axis attribute is OPTIONAL with default 0 (a missing
+        # axis must not become the flattened-take dimension=None path)
         return Gather(
-            attributes.get("axis"), indices=attributes.get("shape")
+            attributes.get("axis", 0), indices=attributes.get("shape")
         )
 
 
@@ -821,9 +862,6 @@ class Conv(Module):
             (inp, weight), bias = x, None
         else:
             inp, weight, bias = x
-        conv_fn = "conv2d" if np.ndim(
-            weight.share if _is_enc(weight) else weight
-        ) - (1 if _is_enc(weight) and weight.share.ndim > 4 else 0) >= 4 else "conv1d"
         # kernel rank decides 1d vs 2d: (O, I, K) vs (O, I, Kh, Kw)
         krank = len(weight.shape)
         conv_fn = "conv2d" if krank == 4 else "conv1d"
@@ -845,12 +883,12 @@ class Conv(Module):
     def from_onnx(attributes=None):
         attributes = attributes or {}
         strides = _as_int_list(attributes.get("strides", [1]))
-        pads = _as_int_list(attributes.get("pads", [0]))
+        pads = _onnx_symmetric_pads(attributes.get("pads", [0]))
         dilations = _as_int_list(attributes.get("dilations", [1]))
         return Conv(
-            stride=strides[0],
-            padding=pads[0],
-            dilation=dilations[0],
+            stride=_scalar_or_tuple(strides),
+            padding=_scalar_or_tuple(pads),
+            dilation=_scalar_or_tuple(dilations),
             groups=int(attributes.get("group", 1)),
         )
 
@@ -968,9 +1006,11 @@ class _Pool2d(Module):
         from .module import AvgPool2d, MaxPool2d
 
         attributes = attributes or {}
-        kernel = _as_int_list(attributes.get("kernel_shape", [2]))[0]
-        stride = _as_int_list(attributes.get("strides", [kernel]))[0]
-        padding = _as_int_list(attributes.get("pads", [0]))[0]
+        kernel = _scalar_or_tuple(_as_int_list(attributes.get("kernel_shape", [2])))
+        stride = _scalar_or_tuple(
+            _as_int_list(attributes.get("strides", _as_int_list(kernel)))
+        )
+        padding = _scalar_or_tuple(_onnx_symmetric_pads(attributes.get("pads", [0])))
         ceil_mode = bool(attributes.get("ceil_mode", 0))
         cls = AvgPool2d if pool_type == "average" else MaxPool2d
         return cls(kernel, stride=stride, padding=padding, ceil_mode=ceil_mode)

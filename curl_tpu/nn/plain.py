@@ -191,11 +191,20 @@ class PlainTensor:
     def reciprocal(self):
         return self._w(1.0 / self.v)
 
-    def softmax(self, dim=-1, **kw):
-        return self._w(jax.nn.softmax(self.v, axis=dim))
+    def softmax(self, dim=-1, mask=None, **kw):
+        # honor the public mask exactly like the encrypted softmax does
+        # (masked lanes pinned to 0) — otherwise plain-mode causal
+        # attention would silently be non-causal
+        x = self.v
+        if mask is not None:
+            x = jnp.where(jnp.asarray(mask) != 0, x, -jnp.inf)
+        return self._w(jax.nn.softmax(x, axis=dim))
 
-    def log_softmax(self, dim=-1, **kw):
-        return self._w(jax.nn.log_softmax(self.v, axis=dim))
+    def log_softmax(self, dim=-1, mask=None, **kw):
+        x = self.v
+        if mask is not None:
+            x = jnp.where(jnp.asarray(mask) != 0, x, -jnp.inf)
+        return self._w(jax.nn.log_softmax(x, axis=dim))
 
     def dropout(self, p=0.5, training=False, inplace=False):
         return self

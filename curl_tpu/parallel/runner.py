@@ -44,15 +44,21 @@ class Public:
 
 
 @contextlib.contextmanager
-def mpc_context(keys, world_size: int):
-    """Bind PRNG keys + world size for protocol code in this thread."""
+def mpc_context(keys, world_size: int, runtime: str = "vmap"):
+    """Bind PRNG keys + world size (+ runtime binding kind) for protocol
+    code in this thread. ``runtime="shard_map"`` disables fused kernels
+    whose protocol math lives in a custom_vmap batching rule over the
+    party axis (no vmap axis exists under shard_map)."""
     old_ws = comm.get_world_size()
+    old_rt = comm.get_runtime()
     comm.set_world_size(world_size)
+    comm.set_runtime(runtime)
     try:
         with rng.KeyContext(keys):
             yield
     finally:
         comm.set_world_size(old_ws)
+        comm.set_runtime(old_rt)
 
 
 def _split_args(args):
@@ -218,7 +224,7 @@ def shard_map_parties(fn, mesh, world_size: int):
                 jax.tree_util.tree_map(lambda a: a[0], x) if ax == 0 else x
                 for x, ax in zip(inner, in_axes)
             ]
-            with mpc_context(party_keys, world_size):
+            with mpc_context(party_keys, world_size, runtime="shard_map"):
                 out = fn(*inner)
             return jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], out)
 

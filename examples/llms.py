@@ -66,17 +66,19 @@ def run_llm(args):
     if args.communication:
         curl_tpu.reset_communication_stats()
 
+    from curl_tpu.utils.timing import device_sync
+
     step = curl_tpu.compile_parties(apply_fn, world_size=args.world_size)
     t0 = time.time()
     out = step(jax.random.PRNGKey(0), params, xe.mpc)
-    jax.block_until_ready(out.share)
+    device_sync(out)  # block_until_ready returns early on the axon platform
     compile_time = time.time() - t0
 
     times = []
     for i in range(args.reps):
         t0 = time.time()
         out = step(jax.random.PRNGKey(i + 1), params, xe.mpc)
-        jax.block_until_ready(out.share)
+        device_sync(out)
         times.append(time.time() - t0)
 
     latency = min(times)

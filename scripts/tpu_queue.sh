@@ -15,4 +15,5 @@ BENCH_SEQ=64 SEQ=64 BENCH_SCAN_WIDTH=2048 run python -u scripts/profile_breakdow
 BENCH_CACHE=1 BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
 BENCH_BATCH=8 BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
 BENCH_MODEL=GPTNeo BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
+run python -u scripts/tpu_workloads.py
 echo "QUEUE DONE $(date)" | tee -a "$LOG"

@@ -116,7 +116,11 @@ def case_pos_pow():
     # tests/golden/reference_outputs.npz)
     a = np.abs(_R.normal(size=(5,))) + 1.0
     _run(lambda x: x.pos_pow(2), lambda x: x ** 2, [a], tol=0.1)
-    _run(lambda x: x.pos_pow(1.5), lambda x: x ** 1.5, [a], tol=0.3, grad_tol=0.6)
+    # tight grad_tol: d/dx x^1.5 = 1.5*sqrt(x) in [1.5, 2.2] on this domain;
+    # the pre-fix formula x^(p(p-1)) was off by up to ~0.45 here
+    _run(lambda x: x.pos_pow(1.5), lambda x: x ** 1.5, [a], tol=0.3, grad_tol=0.25)
+    _run(lambda x: x.pos_pow(2.5), lambda x: x ** 2.5, [np.array([1.3, 1.6])],
+         tol=0.4, grad_tol=0.5)
 
 
 def case_polynomial():
@@ -260,6 +264,11 @@ def F_cossim(a, b):
 def case_norm():
     a = _R.normal(size=(5,)) * 2
     _run(lambda x: x.norm(), lambda x: x.norm(), [a], tol=0.15, grad_tol=0.3)
+    # reduced-dim norm on a NON-square shape: backward must unsqueeze the
+    # saved norm alongside grad (misaligned broadcast pre-fix)
+    b = _R.normal(size=(3, 4)) + np.sign(_R.normal(size=(3, 4))) * 0.8
+    _run(lambda x: x.norm(p=2, dim=1), lambda x: x.norm(p=2, dim=1), [b],
+         tol=0.2, grad_tol=0.3)
 
 
 def case_dropout():

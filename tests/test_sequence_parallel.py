@@ -58,7 +58,7 @@ def test_sharded_softmax_parity_seq256():
     def local_fn(party_keys, xm):
         party_keys = jax.tree_util.tree_map(lambda a: a[0], party_keys)
         xm = jax.tree_util.tree_map(lambda a: a[0], xm)  # local (B, T/N_SEQ)
-        with mpc_context(party_keys, WORLD):
+        with mpc_context(party_keys, WORLD, runtime="shard_map"):
             out = sharded_softmax(xm, dim=-1, axis_name="seq")
         return out.share[None]
 
@@ -103,7 +103,7 @@ def test_sharded_attention_scores_parity():
         party_keys = jax.tree_util.tree_map(lambda a: a[0], party_keys)
         qm = jax.tree_util.tree_map(lambda a: a[0], qm)  # (T/N_SEQ, D)
         km = jax.tree_util.tree_map(lambda a: a[0], km)
-        with mpc_context(party_keys, WORLD):
+        with mpc_context(party_keys, WORLD, runtime="shard_map"):
             s = sharded_attention_scores(qm, km, axis_name="seq")
         return s.share[None]
 
