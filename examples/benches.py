@@ -61,6 +61,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=4096)
     parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument(
+        "--loop", type=int, default=1,
+        help="run the op N times inside ONE compiled program (lax.scan with "
+        "per-iteration forked protocol randomness) and report per-iteration "
+        "time — isolates device time from the ~30 ms remote-dispatch floor",
+    )
     parser.add_argument("--json", default=None)
     parser.add_argument("--config", default="default.yaml")
     parser.add_argument("--functions", nargs="*", default=None)
@@ -85,24 +91,54 @@ def main():
         ref = REFS[name](xs)
         xe = curl_tpu.cryptensor(xs)
 
-        step = curl_tpu.compile_parties(
-            lambda m, n=name: getattr(m, n)(), world_size=2
-        )
+        if args.loop > 1:
+            # N iterations in one program: scan with per-iteration forked
+            # protocol randomness (fresh masks each iter — not elidable),
+            # outputs checksummed into the carry so XLA keeps every iter
+            from jax import lax
+
+            from curl_tpu import random as crng
+
+            def looped(m, n=name, N=args.loop):
+                import jax.numpy as jnp
+
+                def body(acc, i):
+                    with crng.fork(i):
+                        out = getattr(m, n)()
+                    return acc + out.share.sum(), None
+
+                acc, _ = lax.scan(
+                    body, jnp.zeros((), jnp.uint64), jnp.arange(N)
+                )
+                with crng.fork(args.loop + 1):
+                    out = getattr(m, n)()  # one decodable output
+                return out, acc
+
+            step = curl_tpu.compile_parties(looped, world_size=2)
+        else:
+            step = curl_tpu.compile_parties(
+                lambda m, n=name: getattr(m, n)(), world_size=2
+            )
         # timing must NOT trust block_until_ready: on the remote axon
         # platform it can return before device execution completes (the
         # round-1 headline artifact). Reduce on device and fetch the
         # scalar — the fetch cannot return until the program has run.
         reduce_fn = jax.jit(lambda s: s.sum())
-        sync = lambda o: np.asarray(jax.device_get(reduce_fn(o.share)))  # noqa: E731
-        out = step(jax.random.PRNGKey(0), xe.mpc)  # compile
-        sync(out)
+
+        def sync(o):
+            if isinstance(o, tuple):  # loop mode: (out, checksum carry)
+                np.asarray(jax.device_get(o[1]))
+                return o[0]
+            np.asarray(jax.device_get(reduce_fn(o.share)))
+            return o
+
+        out = sync(step(jax.random.PRNGKey(0), xe.mpc))  # compile
 
         times = []
         for i in range(args.reps):
             t0 = time.time()
-            out = step(jax.random.PRNGKey(i + 1), xe.mpc)
-            sync(out)
-            times.append((time.time() - t0) * 1000)
+            out = sync(step(jax.random.PRNGKey(i + 1), xe.mpc))
+            times.append((time.time() - t0) * 1000 / args.loop)
         times.sort()
 
         dec = curl_tpu.CrypTensor(out).get_plain_text()

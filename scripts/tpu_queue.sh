@@ -16,4 +16,5 @@ BENCH_CACHE=1 BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u be
 BENCH_BATCH=8 BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
 BENCH_MODEL=GPTNeo BENCH_SEQ=64 BENCH_SCAN_WIDTH=2048 BENCH_SANITY=0 run python -u bench.py
 run python -u scripts/tpu_workloads.py
+run python -u examples/benches.py --size 4096 --reps 3 --loop 32 --json benchmarks/results/func_bench_tpu_v5e_looped.json
 echo "QUEUE DONE $(date)" | tee -a "$LOG"
