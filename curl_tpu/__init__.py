@@ -102,6 +102,7 @@ def init(config_file=None, world_size: int = 2, seed: int = 0, device=None):
     _session.world_size = world_size
     _session.keys = _rng.make_party_keys(seed, world_size)
     _session.counter = 0
+    _rng.reset_count()  # same seed + same ops => same protocol randomness
     _session.initialized = True
     from .functions.luts import LookupTables
 

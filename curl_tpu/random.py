@@ -45,6 +45,21 @@ def _next_count() -> int:
         return next(_counter)
 
 
+def reset_count():
+    """Restart the trace-time draw counter (called by ``curl_tpu.init``).
+
+    Makes a seeded session fully deterministic: same seed + same op
+    sequence replays the same protocol randomness regardless of what ran
+    earlier in the process (without this, gradcheck-style tests flaked on
+    borderline LUT cells depending on suite order). Draw uniqueness WITHIN
+    a session is still counter-guaranteed; callers needing fresh
+    randomness across sessions must init with a fresh seed — which was
+    already the documented contract."""
+    global _counter
+    with _counter_lock:
+        _counter = itertools.count()
+
+
 class KeyContext:
     """Binds a party's generator keys for the duration of a protocol trace."""
 
