@@ -187,7 +187,9 @@ def pack_words(d_lo_halves):
 # TPU kernel wrapper
 # ---------------------------------------------------------------------------
 
-_TILE_ROWS = 256  # word rows per grid step: (256,128) u32 = 128 KB/plane
+_TILE_ROWS = 128  # word rows per grid step: (128,128) u32 = 64 KB/plane.
+# 256 rows overflows the 16 MB scoped-VMEM budget on v5e by ~2% once the
+# protocol's ~60 live temporaries are accounted (measured: 16.34M > 16M).
 
 
 def _kernel_call(cl0, ch0, cl1, ch1, rl0, rh0, rl1, rh1, seeds):
@@ -210,13 +212,16 @@ def _kernel_call(cl0, ch0, cl1, ch1, rl0, rh0, rl1, rh1, seeds):
         pltpu.prng_seed(seed_ref[0] ^ (t * m0), seed_ref[1] ^ ((t + 1) * m1))
 
         def rbits():
-            lo = pltpu.prng_random_bits((tr, 128))
-            hi = pltpu.prng_random_bits((tr, 128))
+            # prng_random_bits returns int32; the u64-pair math needs uint32
+            # (signed carry comparisons in up.add/up.sub corrupt the adder).
+            # int32->uint32 astype is bit-preserving (mod-2^32 conversion).
+            lo = pltpu.prng_random_bits((tr, 128)).astype(jnp.uint32)
+            hi = pltpu.prng_random_bits((tr, 128)).astype(jnp.uint32)
             return lo, hi
 
         def rbit():
-            a = pltpu.prng_random_bits((tr, 128)) & np.uint32(1)
-            b = pltpu.prng_random_bits((tr, 128)) & np.uint32(1)
+            a = pltpu.prng_random_bits((tr, 128)).astype(jnp.uint32) & np.uint32(1)
+            b = pltpu.prng_random_bits((tr, 128)).astype(jnp.uint32) & np.uint32(1)
             return jnp.stack([a, b])
 
         c0 = (cl0r[...], ch0r[...])
