@@ -2,11 +2,15 @@
 """Function + model benchmark suite with CSV output.
 
 Parity scope: reference benchmarks/benchmark.py:82-563 (FuncBenchmarks /
-ModelBenchmarks) — runtimes and errors for the nonlinearities and for small
-models (logistic regression, FFNN, LeNet), in plaintext vs encrypted,
-written as CSVs compatible with the reference's dashboard format.
+ModelBenchmarks) — runtimes and errors for the nonlinearities, layer
+runtimes (conv1d/conv2d/pool/linear, reference benchmark.py:166-187),
+inference AND per-epoch training time (reference benchmark.py:360-427) for
+small models (logistic regression, FFNN, LeNet), plus `--advanced-models`
+resnet inference (reference ModelBenchmarks advanced set), in plaintext vs
+encrypted, written as CSVs compatible with the reference's dashboard format.
 
 Usage: python benchmarks/benchmark.py [--path out_dir] [--world-size 2]
+       [--only func|layer|model|all] [--advanced-models]
 """
 
 import argparse
@@ -93,12 +97,70 @@ class FuncBenchmarks:
         )
 
 
+class LayerBenchmarks:
+    """Per-layer runtimes (reference benchmark.py:166-187 get_layer_runtimes).
+
+    Times one forward of each nn layer on fixed random inputs, plaintext
+    (numpy/plain module path) vs encrypted.
+    """
+
+    def __init__(self, world_size=2):
+        self.world_size = world_size
+        self.data = []
+
+    def _cases(self, nn):
+        rng = np.random.default_rng(3)
+        return [
+            ("linear(64->64)", nn.Linear(64, 64), rng.normal(size=(16, 64))),
+            ("conv1d(8ch,k5)", nn.Conv1d(8, 8, 5, padding=2),
+             rng.normal(size=(4, 8, 32))),
+            ("conv2d(8ch,k3)", nn.Conv2d(8, 8, 3, padding=1),
+             rng.normal(size=(2, 8, 16, 16))),
+            ("maxpool2d(2)", nn.MaxPool2d(2), rng.normal(size=(2, 4, 16, 16))),
+            ("avgpool2d(2)", nn.AvgPool2d(2), rng.normal(size=(2, 4, 16, 16))),
+            ("batchnorm2d(8)", nn.BatchNorm2d(8), rng.normal(size=(2, 8, 8, 8))),
+        ]
+
+    def run(self):
+        import curl_tpu
+        from curl_tpu import nn
+
+        from curl_tpu.nn.plain import PlainTensor
+
+        for name, layer, x in self._cases(nn):
+            layer.eval()
+            t0 = time.time()
+            _ = layer(PlainTensor(x))  # unencrypted module path
+            plain_t = time.time() - t0
+            layer.encrypt(src=0)
+            xe = curl_tpu.cryptensor(x)
+            # lazy batching: the whole layer forward compiles as ONE program
+            # instead of one dispatch per protocol op
+            t0 = time.time()
+            with curl_tpu.lazy():
+                _ = layer(xe).get_plain_text()
+            enc_t = time.time() - t0
+            self.data.append(
+                {"layer": name, "runtime": plain_t, "runtime crypten": enc_t}
+            )
+            print(f"# layer {name}: enc {enc_t*1000:.1f}ms", flush=True)
+        return self.data
+
+    def save(self, path):
+        _write_csv(
+            os.path.join(path, "layer_benchmarks.csv"),
+            self.data,
+            ["layer", "runtime", "runtime crypten"],
+        )
+
+
 class ModelBenchmarks:
     """Small-model inference/training benchmarks (reference benchmark.py:397)."""
 
     def __init__(self, world_size=2):
         self.world_size = world_size
         self.data = []
+        self.train_data = []
 
     def _logreg_data(self, n=100, f=20):
         rng = np.random.default_rng(0)
@@ -120,7 +182,8 @@ class ModelBenchmarks:
         plain_t = time.time() - t0
         model.encrypt(src=0)
         t0 = time.time()
-        pred = model(curl_tpu.cryptensor(X)).get_plain_text()
+        with curl_tpu.lazy():
+            pred = model(curl_tpu.cryptensor(X)).get_plain_text()
         enc_t = time.time() - t0
         acc = ((pred.squeeze() > 0.5) == y).mean()
         self.data.append(
@@ -137,7 +200,8 @@ class ModelBenchmarks:
         plain_t = time.time() - t0
         ffnn.encrypt(src=0)
         t0 = time.time()
-        pred = ffnn(curl_tpu.cryptensor(X)).get_plain_text()
+        with curl_tpu.lazy():
+            pred = ffnn(curl_tpu.cryptensor(X)).get_plain_text()
         enc_t = time.time() - t0
         acc = ((pred.squeeze() > 0.5) == y).mean()
         self.data.append(
@@ -146,12 +210,93 @@ class ModelBenchmarks:
         )
         return self.data
 
+    def time_training(self, epochs=2):
+        """Per-epoch training time, plaintext vs encrypted (reference
+        benchmark.py:414-427 time_training): forward + BCE loss + backward +
+        SGD step on the Gaussian-cluster logreg task and the FFNN."""
+        import curl_tpu
+        from curl_tpu import nn, optim
+
+        X, y = self._logreg_data()
+        builders = {
+            "logistic regression": lambda: nn.Sequential(
+                nn.Linear(20, 1), nn.Sigmoid()
+            ),
+            "feedforward neural network": lambda: nn.Sequential(
+                nn.Linear(20, 32), nn.ReLU(), nn.Linear(32, 1), nn.Sigmoid()
+            ),
+        }
+        for name, build in builders.items():
+            # plaintext epoch: numpy forward/backward on the same geometry
+            w = np.zeros((X.shape[1], 1))
+            t0 = time.time()
+            for _ in range(epochs):
+                p = 1 / (1 + np.exp(-(X @ w)))
+                w -= 0.1 * X.T @ (p - y[:, None]) / len(X)
+            plain_t = (time.time() - t0) / epochs
+
+            model = build()
+            model.encrypt(src=0)
+            params = [p for _, p in model.named_parameters()]
+            for p in params:
+                p.requires_grad = True
+            opt = optim.SGD(params, lr=0.1)
+            criterion = nn.BCELoss()
+            xe, ye = curl_tpu.cryptensor(X), curl_tpu.cryptensor(y[:, None])
+            t0 = time.time()
+            for _ in range(epochs):
+                opt.zero_grad()
+                loss = criterion(model(xe), ye)
+                loss.backward()
+                opt.step()
+            float(loss.get_plain_text())  # force completion before timing
+            enc_t = (time.time() - t0) / epochs
+            self.train_data.append(
+                {"model": name, "seconds": plain_t, "seconds crypten": enc_t}
+            )
+        return self.train_data
+
+    def run_advanced(self):
+        """Advanced-model inference (reference ModelBenchmarks advanced set:
+        resnet18/34): one encrypted CIFAR-shaped forward."""
+        import curl_tpu
+        from curl_tpu.models import resnet
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(1, 3, 32, 32))
+        for name in ("resnet18", "resnet34"):
+            model = getattr(resnet, name)(num_classes=10)
+            model.eval()
+            from curl_tpu.nn.plain import PlainTensor
+
+            t0 = time.time()
+            _ = model(PlainTensor(x))
+            plain_t = time.time() - t0
+            model.encrypt(src=0)
+            xe = curl_tpu.cryptensor(x)
+            t0 = time.time()
+            with curl_tpu.lazy():
+                _ = model(xe).get_plain_text()
+            enc_t = time.time() - t0
+            print(f"# advanced {name}: enc {enc_t:.2f}s", flush=True)
+            self.data.append(
+                {"model": name, "seconds": plain_t,
+                 "seconds crypten": enc_t, "inference accuracy": float("nan")}
+            )
+        return self.data
+
     def save(self, path):
         _write_csv(
             os.path.join(path, "model_benchmarks.csv"),
             self.data,
             ["model", "seconds", "seconds crypten", "inference accuracy"],
         )
+        if self.train_data:
+            _write_csv(
+                os.path.join(path, "model_training_benchmarks.csv"),
+                self.train_data,
+                ["model", "seconds", "seconds crypten"],
+            )
 
 
 def _write_csv(path, rows, fields):
@@ -168,7 +313,17 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--path", default="/tmp/curl_tpu_benchmarks")
     parser.add_argument("--world-size", type=int, default=2)
-    parser.add_argument("--only", choices=["func", "model", "all"], default="all")
+    parser.add_argument(
+        "--only", choices=["func", "layer", "model", "all"], default="all"
+    )
+    parser.add_argument(
+        "--advanced-models", action="store_true",
+        help="include resnet inference (reference benchmark.py:18)",
+    )
+    parser.add_argument(
+        "--skip-training", action="store_true",
+        help="skip the per-epoch training benchmarks",
+    )
     args = parser.parse_args()
 
     import curl_tpu
@@ -183,13 +338,26 @@ def main():
         for row in fb.data:
             print(f"{row['function']:<12} enc {row['runtime crypten']*1000:9.1f}ms "
                   f"avg_rel_err {row['average relative err.']:.5f}")
+    if args.only in ("layer", "all"):
+        lb = LayerBenchmarks(args.world_size)
+        lb.run()
+        lb.save(args.path)
+        for row in lb.data:
+            print(f"{row['layer']:<18} enc {row['runtime crypten']*1000:9.1f}ms")
     if args.only in ("model", "all"):
         mb = ModelBenchmarks(args.world_size)
         mb.run()
+        if not args.skip_training:
+            mb.time_training()
+        if args.advanced_models:
+            mb.run_advanced()
         mb.save(args.path)
         for row in mb.data:
             print(f"{row['model']:<28} enc {row['seconds crypten']:.3f}s "
                   f"acc {row['inference accuracy']:.3f}")
+        for row in mb.train_data:
+            print(f"{row['model']:<28} train/epoch enc "
+                  f"{row['seconds crypten']:.3f}s")
     print(f"CSVs written to {args.path}")
 
 

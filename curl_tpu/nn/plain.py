@@ -263,6 +263,20 @@ class PlainTensor:
         )
         return self._w(out)
 
+    def conv1d(self, kernel, stride=1, padding=0, dilation=1, groups=1):
+        from jax import lax
+
+        k = self._val(kernel)
+        stride = (stride,) if isinstance(stride, int) else tuple(stride)
+        padding = (padding,) if isinstance(padding, int) else tuple(padding)
+        dilation = (dilation,) if isinstance(dilation, int) else tuple(dilation)
+        out = lax.conv_general_dilated(
+            self.v, k, stride, [(p, p) for p in padding],
+            rhs_dilation=dilation, feature_group_count=groups,
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        return self._w(out)
+
     def _pool2d(self, kind, kernel_size, stride=None, padding=0):
         from jax import lax
 
