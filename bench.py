@@ -163,6 +163,24 @@ def _run(seq):
         # fold steps) at seq>=64; W=16384 is the best measured width that
         # compiles there (1.14s/fwd vs 2.05s pure butterfly)
         curl_tpu.cfg.set("functions.scan_fixed_width", 16384)
+    if "BENCH_CASCADE_MIN" in os.environ:
+        curl_tpu.cfg.set(
+            "functions.scan_cascade_min", int(os.environ["BENCH_CASCADE_MIN"])
+        )
+    if "BENCH_CASCADE_FACTOR" in os.environ:
+        curl_tpu.cfg.set(
+            "functions.scan_cascade_factor",
+            int(os.environ["BENCH_CASCADE_FACTOR"]),
+        )
+    if "BENCH_HEAD_CHUNK" in os.environ:
+        curl_tpu.cfg.set(
+            "models.head_chunk_positions", int(os.environ["BENCH_HEAD_CHUNK"])
+        )
+    elif BATCH * seq > 64 or MODEL != "GPT2":
+        # chunk the position-independent embedding/LM-head/vocab-softmax
+        # stages so compiler + HBM footprint stays at 64 positions
+        # regardless of batch and width (nn.module.scan_chunked)
+        curl_tpu.cfg.set("models.head_chunk_positions", 64)
     curl_tpu.init(world_size=2, seed=11)
 
     model_cls = getattr(models, MODEL)

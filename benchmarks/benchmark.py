@@ -7,7 +7,13 @@ runtimes (conv1d/conv2d/pool/linear, reference benchmark.py:166-187),
 inference AND per-epoch training time (reference benchmark.py:360-427) for
 small models (logistic regression, FFNN, LeNet), plus `--advanced-models`
 resnet inference (reference ModelBenchmarks advanced set), in plaintext vs
-encrypted, written as CSVs compatible with the reference's dashboard format.
+encrypted, written as CSVs.
+
+CSV format note: columns are wide-format (one row per function/layer/model
+with plaintext and encrypted columns side by side). The reference's
+dashboard instead folds layer runtimes into the function dataframe and
+stores model times long-format ('seconds per epoch' / 'is plain text');
+benchmarks/dashboard.py in this repo consumes the wide format directly.
 
 Usage: python benchmarks/benchmark.py [--path out_dir] [--world-size 2]
        [--only func|layer|model|all] [--advanced-models]
@@ -210,10 +216,56 @@ class ModelBenchmarks:
         )
         return self.data
 
+    @staticmethod
+    def _plain_epochs(model, X, y, epochs, lr=0.1):
+        """One numpy BCE-SGD epoch through the ACTUAL built model's math
+        (reference benchmark.py:414-427 times the real plain model per
+        entry, not a shared surrogate). Supports the two benchmark
+        geometries: [Linear, Sigmoid] and [Linear, ReLU, Linear, Sigmoid]."""
+        layers = [model[i] for i in range(len(list(model._modules)))]
+        linears = [
+            [np.array(m._parameters["weight"]), np.array(m._parameters["bias"])]
+            for m in layers
+            if type(m).__name__ == "Linear"
+        ]
+        has_relu = any(type(m).__name__ == "ReLU" for m in layers)
+        n = len(X)
+        yc = y[:, None]
+        for _ in range(epochs):
+            # forward
+            acts = [X]
+            z1 = acts[-1] @ linears[0][0].T + linears[0][1]
+            if has_relu:
+                h = np.maximum(z1, 0)
+                z2 = h @ linears[1][0].T + linears[1][1]
+                p = 1 / (1 + np.exp(-z2))
+                # backward (BCE + sigmoid -> dz = p - y)
+                dz2 = (p - yc) / n
+                gW2 = dz2.T @ h
+                gb2 = dz2.sum(0)
+                dh = dz2 @ linears[1][0]
+                dz1 = dh * (z1 > 0)
+                gW1 = dz1.T @ X
+                gb1 = dz1.sum(0)
+                linears[1][0] -= lr * gW2
+                linears[1][1] -= lr * gb2
+                linears[0][0] -= lr * gW1
+                linears[0][1] -= lr * gb1
+            else:
+                p = 1 / (1 + np.exp(-z1))
+                dz1 = (p - yc) / n
+                linears[0][0] -= lr * (dz1.T @ X)
+                linears[0][1] -= lr * dz1.sum(0)
+        return linears
+
     def time_training(self, epochs=2):
         """Per-epoch training time, plaintext vs encrypted (reference
         benchmark.py:414-427 time_training): forward + BCE loss + backward +
-        SGD step on the Gaussian-cluster logreg task and the FFNN."""
+        SGD step on the Gaussian-cluster logreg task and the FFNN. The
+        plaintext column times the same model's own numpy forward/backward;
+        the encrypted epoch is warmed up once untimed (compile + trace cost
+        excluded, as the reference's time_me averaging does) and runs under
+        curl_tpu.lazy() so the epoch compiles as one program."""
         import curl_tpu
         from curl_tpu import nn, optim
 
@@ -227,15 +279,13 @@ class ModelBenchmarks:
             ),
         }
         for name, build in builders.items():
-            # plaintext epoch: numpy forward/backward on the same geometry
-            w = np.zeros((X.shape[1], 1))
+            model = build()
+            # plaintext epoch: this model's own numpy forward/backward
+            self._plain_epochs(model, X, y, 1)  # warmup (BLAS init etc.)
             t0 = time.time()
-            for _ in range(epochs):
-                p = 1 / (1 + np.exp(-(X @ w)))
-                w -= 0.1 * X.T @ (p - y[:, None]) / len(X)
+            self._plain_epochs(model, X, y, epochs)
             plain_t = (time.time() - t0) / epochs
 
-            model = build()
             model.encrypt(src=0)
             params = [p for _, p in model.named_parameters()]
             for p in params:
@@ -243,13 +293,19 @@ class ModelBenchmarks:
             opt = optim.SGD(params, lr=0.1)
             criterion = nn.BCELoss()
             xe, ye = curl_tpu.cryptensor(X), curl_tpu.cryptensor(y[:, None])
+
+            def epoch():
+                with curl_tpu.lazy():
+                    opt.zero_grad()
+                    loss = criterion(model(xe), ye)
+                    loss.backward()
+                    opt.step()
+                    return float(loss.get_plain_text())  # force completion
+
+            epoch()  # untimed warmup: trace + JIT compile
             t0 = time.time()
             for _ in range(epochs):
-                opt.zero_grad()
-                loss = criterion(model(xe), ye)
-                loss.backward()
-                opt.step()
-            float(loss.get_plain_text())  # force completion before timing
+                epoch()
             enc_t = (time.time() - t0) / epochs
             self.train_data.append(
                 {"model": name, "seconds": plain_t, "seconds crypten": enc_t}
@@ -353,8 +409,10 @@ def main():
             mb.run_advanced()
         mb.save(args.path)
         for row in mb.data:
+            acc = row["inference accuracy"]
+            acc_s = "-" if acc != acc else f"{acc:.3f}"  # NaN for advanced models
             print(f"{row['model']:<28} enc {row['seconds crypten']:.3f}s "
-                  f"acc {row['inference accuracy']:.3f}")
+                  f"acc {acc_s}")
         for row in mb.train_data:
             print(f"{row['model']:<28} train/epoch enc "
                   f"{row['seconds crypten']:.3f}s")

@@ -716,9 +716,11 @@ def softmax(self, dim=-1, mask=None, **kwargs):
         prec = self.encoder.precision_bits
         neg = -float(2 ** (_compare_bits() - 3 - prec))
         shifted = self.mul(mask).add((1.0 - mask) * neg)
-        maximum_value = shifted.max(dim, keepdim=True)[0]
+        maximum_value = shifted.max_value(dim, keepdim=True)
     else:
-        maximum_value = self.max(dim, keepdim=True)[0]
+        # max VALUES only: the reference's max(dim)[0] also derives the
+        # argmax one-hot (full-width eq + tie-break) just to discard it
+        maximum_value = self.max_value(dim, keepdim=True)
     logits = self - maximum_value
     with cfg.temp_override({"functions.exp_all_neg": True}):
         numerator = logits.exp()
@@ -735,7 +737,7 @@ def log_softmax(self, dim=-1, **kwargs):
         return MPCTensor.encrypt(jnp.zeros(()), src=0)
     if self.size(dim) == 1:
         return MPCTensor.encrypt(jnp.zeros(self.shape), src=0)
-    maximum_value = self.max(dim, keepdim=True)[0]
+    maximum_value = self.max_value(dim, keepdim=True)
     logits = self - maximum_value
     normalize_term = exp(logits).sum(axis=dim, keepdim=True)
     return logits - normalize_term.log()

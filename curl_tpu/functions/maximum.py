@@ -10,6 +10,7 @@ broken with a weighted random one-hot.
 from __future__ import annotations
 
 import math
+from builtins import max as builtins_max
 
 import jax.numpy as jnp
 import numpy as np
@@ -17,7 +18,7 @@ import numpy as np
 from ..config import cfg
 from ..mpc.mpc import MPCTensor
 
-__all__ = ["argmax", "argmin", "max", "min"]
+__all__ = ["argmax", "argmin", "max", "min", "max_value"]
 
 
 def argmax(self, dim=None, keepdim=False, one_hot=True):
@@ -59,6 +60,36 @@ def min(self, dim=None, keepdim=False, one_hot=True):
     if dim is None:
         return -result
     return -result[0], result[1]
+
+
+def max_value(self, dim=None, keepdim=False):
+    """Max VALUES only — skips the argmax one-hot entirely.
+
+    The reference's ``max(dim)`` (maximum.py:39-54) always derives the
+    argmax one-hot (a full-width eq circuit + weighted tie-break) even
+    when the caller discards it; softmax's max-shift (approximations.py:
+    1150) is exactly that case, and over an LLM vocab the discarded
+    argmax costs as much as the max tree itself. For the tree-reduction
+    methods the value is available directly; pairwise falls back to the
+    full (value, argmax) computation since it derives the value FROM the
+    one-hot.
+    """
+    method = cfg.functions.max_method
+    if self.dim() == 0:
+        return self
+    if method in ("log_reduction", "double_log_reduction",
+                  "accelerated_cascade", "scan_reduction"):
+        inp = self.flatten() if dim is None else self
+        d = 0 if dim is None else dim
+        out = _max_helper_all_tree_reductions(inp, dim=d, method=method)
+        if dim is None:
+            return out
+        if keepdim and out.dim() < self.dim():
+            out = out.unsqueeze(dim)
+        return out
+    if dim is None:
+        return self.max()
+    return self.max(dim, keepdim=keepdim)[0]
 
 
 def _argmax_helper_pairwise(enc_tensor, dim=None):
@@ -210,14 +241,16 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
     count at vocab 50257. Unrolling a true-halving head fixes the work but
     instantiates one comparison-circuit subgraph per level, and circuit HLO
     size is shape-independent — the remote compiler OOMs. This form keeps
-    exactly TWO circuit instances:
+    O(log_f(W)) circuit instances (~4 at vocab scale):
 
-      1. fold head: reshape the padded axis to (G, W) chunks
+      1. a CASCADE of fold scans: reshape the padded axis to (G, W) chunks
          (W = cfg.functions.scan_fixed_width) and lax.scan an elementwise
-         running max over the G chunks — ONE traced body, ~n total
-         comparisons;
-      2. butterfly tail over the final W lanes — ONE traced body,
-         W*log2(W) comparisons.
+         running max over the G chunks — ONE traced body per stage — then
+         repeat with W shrinking by cfg.functions.scan_cascade_factor per
+         stage down to cfg.functions.scan_cascade_min. Total comparisons
+         stay O(n);
+      2. butterfly tail over the final cascade_min lanes — ONE traced
+         body, min*log2(min) comparisons.
 
     Every select costs ONE Beaver mul (b + (a-b)*(a>=b)) instead of the
     two-mul `where` form. Round complexity is G + log2(W) sequential
@@ -273,15 +306,28 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
         fixed_width = 1
     fixed_width = 1 << int(math.floor(math.log2(fixed_width)))
 
+    try:
+        cascade_min = int(cfg.functions.scan_cascade_min)
+    except (AttributeError, TypeError):
+        cascade_min = 128
+    try:
+        cascade_factor = int(cfg.functions.scan_cascade_factor)
+    except (AttributeError, TypeError):
+        cascade_factor = 8
+    if cascade_factor < 2:
+        cascade_factor = 2
+    cascade_min = builtins_max(1, 1 << int(math.floor(math.log2(
+        builtins_max(cascade_min, 1)))))
+
     fused = _use_fused_max_step()
 
-    # -- fold head: (..., padded) -> (G, ..., W); ONE traced body folds the
-    # G chunks into a running elementwise max
-    width = padded if padded < fixed_width else fixed_width
-    groups = padded // width
-    if groups > 1:
+    def fold_to(x, width_out, salt):
+        """(..., W_in) -> (..., width_out): ONE traced scan body folds the
+        W_in / width_out chunks into a running elementwise max."""
         d = x.dim()
-        chunked = x.reshape(*(x.size()[:-1] + (groups, width)))
+        width_in = x.size(d - 1)
+        groups = width_in // width_out
+        chunked = x.reshape(*(x.size()[:-1] + (groups, width_out)))
         # move the group axis to the front for lax.scan
         chunked = chunked.permute(d - 1, *range(d - 1), d)
         carry0 = chunked[0]
@@ -292,24 +338,48 @@ def _max_helper_scan_reduction(enc_tensor, dim=None):
                 new = _tournament_select(carry, chunk, fused)
             return new, None
 
-        rest = chunked[1:]
-        x, _ = lax.scan(
-            fold, carry0, (rest, jnp.arange(groups - 1) + (1 << 20))
+        out, _ = lax.scan(
+            fold, carry0, (chunked[1:], jnp.arange(groups - 1) + salt)
+        )
+        return out
+
+    # -- cascade of fold scans: padded -> W -> W/f -> ... -> cascade_min.
+    # Each stage is ONE traced circuit body (compile size stays O(#stages)),
+    # and each stage's work is ~its input width — total comparisons stay
+    # O(n), unlike a full-width butterfly tail whose masked lanes burn
+    # W*log2(W) comparisons. Rounds grow by ~(f-1)*log_f(W/min) sequential
+    # levels — the right trade on a fused single-program TPU runtime where
+    # per-level cost is work-bound, not latency-bound (raise
+    # cfg.functions.scan_cascade_min toward W for round-bound multi-host
+    # WAN deployments).
+    width = padded if padded < fixed_width else fixed_width
+    if padded > width:
+        x = fold_to(x, width, 1 << 20)
+    stage = 2
+    while width > cascade_min:
+        next_w = builtins_max(width // cascade_factor, cascade_min)
+        x = fold_to(x, next_w, stage << 20)
+        width = next_w
+        stage += 1
+
+    # -- fixed-shape butterfly scan tail over the remaining lanes (the max
+    # lands in lane 0)
+    k_tail = int(math.ceil(math.log2(width))) if width > 1 else 0
+    if k_tail:
+        strides = jnp.array(
+            [width >> (i + 1) for i in range(k_tail)], dtype=jnp.int32
         )
 
-    # -- fixed-shape butterfly scan tail (lanes beyond the live prefix do
-    # masked dummy work; the max lands in lane 0)
-    k_tail = int(math.ceil(math.log2(width)))
-    strides = jnp.array([width >> (i + 1) for i in range(k_tail)], dtype=jnp.int32)
+        def body(carry, inputs):
+            stride, idx = inputs
+            with _rng.fork(idx):
+                rolled = carry.roll(-stride, dims=carry.dim() - 1)
+                new = _tournament_select(carry, rolled, fused)
+            return new, None
 
-    def body(carry, inputs):
-        stride, idx = inputs
-        with _rng.fork(idx):
-            rolled = carry.roll(-stride, dims=carry.dim() - 1)
-            new = _tournament_select(carry, rolled, fused)
-        return new, None
-
-    out, _ = lax.scan(body, x, (strides, jnp.arange(k_tail)))
+        out, _ = lax.scan(body, x, (strides, jnp.arange(k_tail)))
+    else:
+        out = x
     # max now lives in lane 0 of the last axis
     idxr = [slice(None)] * out.dim()
     idxr[out.dim() - 1] = 0
@@ -368,5 +438,6 @@ def _one_hot_to_index(tensor, dim, keepdim):
     return tensor.mul(idx).sum(axis=dim, keepdim=keepdim)
 
 
-for _name, _fn in (("argmax", argmax), ("argmin", argmin), ("max", max), ("min", min)):
+for _name, _fn in (("argmax", argmax), ("argmin", argmin), ("max", max),
+                   ("min", min), ("max_value", max_value)):
     setattr(MPCTensor, _name, _fn)

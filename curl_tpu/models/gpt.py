@@ -70,17 +70,42 @@ class GPT(nn.Module):
             macs += 2 * seq * self.vocab_size * d  # embedding one-hot + lm head
         return batch * macs
 
+    @staticmethod
+    def _head_chunk():
+        """cfg.models.head_chunk_positions: positions per traced chunk for
+        the embedding / LM-head / vocab-softmax stages (0 = off). These
+        stages are position-independent, so chunking them under one scan
+        body (nn.module.scan_chunked) caps compiler + HBM footprint at the
+        chunk size — the enabler for batch >= 8 and the GPT-Neo widths on
+        the remote TPU compiler."""
+        try:
+            return int(curl_tpu.cfg.models.head_chunk_positions)
+        except AttributeError:
+            return 0
+
     def forward(self, x):
+        chunk = self._head_chunk() if self.full else 0
         if self.full:
-            tok = self.tok_embed(x)
+            if x.dim() == 2:
+                b, t = x.shape
+                tok = nn.module.scan_chunked(
+                    self.tok_embed, x.reshape(b * t), chunk, salt=9 << 20
+                ).reshape(b, t, self.embed_dim)
+            else:
+                tok = self.tok_embed(x)
             pos = self._parameters["pos_embed"]
             pos = pos[:, : x.shape[1], :] if hasattr(pos, "__getitem__") else pos
             x = tok + pos
         x = nn.module.scan_identical_blocks(self.blocks, x)
         if self.full:
-            x = self.ln(x)
-            x = self.fc(x)
-            x = self.softmax(x)
+            b, t, d = x.shape
+
+            def head(rows):
+                return self.softmax(self.fc(self.ln(rows)))
+
+            x = nn.module.scan_chunked(
+                head, x.reshape(b * t, d), chunk, salt=10 << 20
+            ).reshape(b, t, self.vocab_size)
         return x
 
 

@@ -277,6 +277,49 @@ def scan_identical_blocks(blocks, x):
     return out
 
 
+def scan_chunked(fn, x, chunk, salt=9 << 20):
+    """Apply ``fn`` independently to chunks of ``x``'s leading axis under
+    ONE lax.scan body.
+
+    TPU-first compile/memory optimization for position-independent stages
+    (embedding lookup, LM head + vocab softmax): the traced body and its
+    live intermediates (one-hot tuples, limb-matmul products, comparison
+    circuits) are sized for ``chunk`` rows regardless of the real row
+    count, so batch-8 costs the same compiler memory as batch-1. Each
+    iteration forks the PRNG context by chunk index (offset by ``salt`` so
+    streams never collide with block-scan or fold-scan forks) — protocol
+    randomness is never reused across chunks.
+
+    Falls back to a direct call when ``x`` is not an MPCTensor, ``chunk``
+    is non-positive, or the leading axis is not a positive multiple of
+    ``chunk``. Only valid under a single trace (compiled path).
+    """
+    from jax import lax as _lax
+
+    from .. import random as _rng
+    from ..mpc.mpc import MPCTensor
+
+    n = x.shape[0] if x.shape else 0
+    if (
+        not isinstance(x, MPCTensor)
+        or chunk <= 0
+        or n <= chunk
+        or n % chunk != 0
+    ):
+        return fn(x)
+    g = n // chunk
+    xc = x.reshape(g, chunk, *x.shape[1:])
+
+    def body(carry, inp):
+        xi, idx = inp
+        with _rng.fork(idx + salt):
+            yi = fn(xi)
+        return carry, yi
+
+    _, ys = _lax.scan(body, 0, (xc, jnp.arange(g)))
+    return ys.reshape(n, *ys.shape[2:])
+
+
 class Sequential(Module):
     """(reference module.py:764)"""
 

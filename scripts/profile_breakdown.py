@@ -168,6 +168,16 @@ def main():
         )
         _time("vocab_max", step, xe.mpc, sync=sync, results=results)
 
+    if want("vocab_maxv"):
+        # max VALUES only (what softmax's max-shift actually uses): the
+        # cascade tournament without the argmax one-hot eq + tie-break
+        x = rng.normal(size=(BATCH, SEQ, V))
+        xe = curl_tpu.cryptensor(x)
+        step = curl_tpu.compile_parties(
+            lambda xm: xm.max_value(-1, keepdim=True), 2
+        )
+        _time("vocab_maxv", step, xe.mpc, sync=sync, results=results)
+
     if want("vocab_exp"):
         # exp_all_neg over the full vocab (the softmax numerator)
         x = -np.abs(rng.normal(size=(BATCH, SEQ, V))) - 0.1
