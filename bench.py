@@ -152,6 +152,13 @@ def _run(seq):
         # kernel, all randomness from the hardware PRNG
         # (ops/pallas_max_step.py; validated by scripts/validate_fused_max.py)
         curl_tpu.cfg.set("mpc.fused_max_step", "pallas_tpu")
+    if "BENCH_FUSED_COMPARE" in os.environ:
+        if os.environ["BENCH_FUSED_COMPARE"] == "1":
+            curl_tpu.cfg.set("mpc.fused_compare", "pallas_tpu")
+    elif on_tpu:
+        # every _ltz-derived comparison (relu/sign/gelu checks) as one
+        # fused kernel (ops/pallas_max_step.fused_ltz_mpc)
+        curl_tpu.cfg.set("mpc.fused_compare", "pallas_tpu")
     if "BENCH_LUT_FASTPATH" in os.environ:
         curl_tpu.cfg.set("mpc.lut_fastpath", os.environ["BENCH_LUT_FASTPATH"] == "1")
     if "BENCH_SCAN_WIDTH" in os.environ:

@@ -38,6 +38,37 @@ def _compare_bits() -> int:
     return width if width in (16, 32) else 64
 
 
+def _use_fused_compare(x) -> bool:
+    """cfg.mpc.fused_compare = "pallas_tpu": run _ltz (the funnel for every
+    comparison) as one fused TPU kernel (ops/pallas_max_step.fused_ltz_mpc).
+    Same scope rules as the fused max step: 2PC simulated-party (vmap)
+    runtime on a TPU backend only, and only in the packed-32 comparison
+    ring the kernel implements; small tensors stay on the composable path
+    (the kernel pads to >= 2048 elements)."""
+    from ..config import cfg
+
+    try:
+        enabled = cfg.mpc.fused_compare == "pallas_tpu"
+    except AttributeError:
+        return False
+    if not enabled or _compare_bits() != 32:
+        return False
+    import numpy as _np
+
+    from ..ops.pallas_max_step import _FUSED_LTZ_MIN_ELEMENTS
+
+    n = int(_np.prod(x.share.shape)) if x.share.shape else 1
+    if n < _FUSED_LTZ_MIN_ELEMENTS:
+        return False
+    import jax
+
+    return (
+        comm.get_world_size() == 2
+        and comm.get_runtime() == "vmap"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _pack_narrow(share, width):
     """Pack 64/width consecutive elements' low ``width`` bits into one uint64
     word. Shares of a mod-2^64 secret reduce to shares of the same secret
@@ -215,6 +246,10 @@ class MPCTensor:
         packed A2B adder runs log2(w) prefix levels on half the words —
         ~2.4x less circuit work, triple material, and PRNG than the 64-bit
         path, and identical round count."""
+        if _use_fused_compare(self):
+            from ..ops.pallas_max_step import fused_ltz_mpc
+
+            return fused_ltz_mpc(self)
         precision = 0 if self.encoder.scale == 1 else None
         width = _compare_bits()
         if width >= 64:

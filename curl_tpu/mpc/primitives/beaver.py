@@ -75,15 +75,16 @@ def _beaver_protocol(op, x, y, **kwargs):
     delta_share = y.share - b.share
     epsilon, delta = comm.all_sum([eps_share, delta_share])
 
+    # z = c + eps*b + x*delta: algebraically identical to the reference's
+    # c + eps*b + a*delta + (rank0) eps*delta (beaver.py:83-85) since
+    # x = a + eps, but costs TWO ring products instead of three — on TPU
+    # each is a full int8-limb MXU pass (ring.py), so this is a 1/3 cut of
+    # the protocol's matmul/conv work. sum_p x_p = x makes the x*delta term
+    # self-correcting: no rank-0 public-term mask needed.
     ring_op = _RING_OPS[op]
     z = c.share
     z = z + ring_op(epsilon, b.share, **kwargs)
-    z = z + ring_op(a.share, delta, **kwargs)
-    pub = ring_op(epsilon, delta, **kwargs)
-    if comm.get_world_size() > 1:
-        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
-        pub = pub * mask
-    z = z + pub
+    z = z + ring_op(x.share, delta, **kwargs)
     return ArithmeticSharedTensor(z, x.encoder)
 
 
@@ -443,14 +444,10 @@ def AND(x, y):
     ys = jnp.broadcast_to(y.share, shape)
     a, b, c = provider.generate_binary_triple(shape, shape)
     epsilon, delta = comm.all_xor([xs ^ a.share, ys ^ b.share])
-    z = (b.share & epsilon) ^ (a.share & delta) ^ c.share
-    pub = epsilon & delta
-    if comm.get_world_size() > 1:
-        mask = jnp.where(
-            comm.rank_signed() == 0, jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64(0)
-        )
-        pub = pub & mask
-    return BinarySharedTensor(z ^ pub, x.encoder)
+    # z = c ^ (eps & b) ^ (x & delta): same identity as the arithmetic
+    # protocol (x = a ^ eps), one AND-plane fewer and no rank-0 mask
+    z = (b.share & epsilon) ^ (xs & delta) ^ c.share
+    return BinarySharedTensor(z, x.encoder)
 
 
 def B2A_single_bit(xB):

@@ -73,27 +73,23 @@ def _beaver_and(u0, u1, v0, v1, rbits):
     c1 = up.xor(up.and_(a, b), c0)
     eps = up.xor(up.xor(u0, a0), up.xor(u1, a1))
     delta = up.xor(up.xor(v0, b0), up.xor(v1, b1))
-    z0 = up.xor(up.xor(c0, up.and_(b0, eps)), up.and_(a0, delta))
-    z0 = up.xor(z0, up.and_(eps, delta))
-    z1 = up.xor(up.xor(c1, up.and_(b1, eps)), up.and_(a1, delta))
+    # z = c ^ (eps & b) ^ (u & delta): u = a ^ eps folds the public
+    # eps & delta term in — one AND-plane fewer per party
+    z0 = up.xor(up.xor(c0, up.and_(b0, eps)), up.and_(u0, delta))
+    z1 = up.xor(up.xor(c1, up.and_(b1, eps)), up.and_(u1, delta))
     return z0, z1
 
 
-def max_step_math(c0, c1, r0, r1, rbits, rbit):
-    """The fused step on u32-pair planes.
+def _sign_bits_math(d0, d1, rbits):
+    """XOR shares of the packed-32 sign bits of d = d0 + d1.
 
-    c/r: carry/rolled additive shares per party, each a (lo, hi) pair of
-    HALF-planes shaped (2, m) — row h holds elements [h*m, (h+1)*m).
-    Word k of the comparison packs elements k (low lane) and k+m (high
-    lane) of the per-party difference d_p = c_p - r_p reduced mod 2^32
-    (share reduction to the subring = dropping the high plane).
-    rbits(): fresh uniform (lo, hi) u32-pair of word shape (m,).
-    rbit(): fresh uniform 0/1 uint32 plane of half-plane shape (2, m).
-
-    Returns new carry shares (lo, hi) pairs shaped (2, m) per party.
+    d0/d1: per-party additive shares as (lo, hi) u32-pair HALF-planes
+    shaped (2, m) — row h holds elements [h*m, (h+1)*m). Word k of the
+    comparison packs elements k (low lane) and k+m (high lane) of the
+    difference reduced mod 2^32 (share reduction to the subring = dropping
+    the high plane). Returns (lz0, lz1): 0/1 uint32 half-planes (2, m),
+    XOR-shared ltz bit per element.
     """
-    d0 = up.sub(c0, r0)
-    d1 = up.sub(c1, r1)
     w0p = pack_words(d0[0])
     w1p = pack_words(d1[0])
 
@@ -133,26 +129,58 @@ def max_step_math(c0, c1, r0, r1, rbits, rbit):
     sum1 = up.xor(p_orig1, carry_sh1)
 
     # ---- sign bits: lane 31 -> element k (half 0), lane 63 -> k+m (half 1)
-    # XOR-shared ltz bit of d = carry - rolled, per half-plane
     lz0 = jnp.stack([(sum0[0] >> up.U32(31)) & up.U32(1),
                      (sum0[1] >> up.U32(31)) & up.U32(1)])
     lz1 = jnp.stack([(sum1[0] >> up.U32(31)) & up.U32(1),
                      (sum1[1] >> up.U32(31)) & up.U32(1)])
-    # ge = NOT ltz (flip on party 0's share)
-    g0 = lz0 ^ up.U32(1)
-    g1 = lz1
+    return lz0, lz1
 
-    # ---- B2A of the ge bit: multiplication-free ((1 - 2t) is +/-1) --------
+
+def _b2a_bit_math(bit0, bit1, rbits, rbit):
+    """B2A an XOR-shared bit: multiplication-free ((1 - 2t) is +/-1).
+
+    bit0/bit1: 0/1 uint32 half-planes (2, m). Returns per-party arithmetic
+    shares as (lo, hi) u64-pair half-planes.
+    """
     rb = rbit()
     rb0 = rbit()
     rb1 = rb ^ rb0
     ra0 = _half_rbits(rbits)
     rb64 = (rb, jnp.zeros_like(rb))
     ra1 = up.sub(rb64, ra0)
-    t = g0 ^ g1 ^ rb0 ^ rb1  # public 0/1
+    t = bit0 ^ bit1 ^ rb0 ^ rb1  # public 0/1
     one = (jnp.ones_like(rb), jnp.zeros_like(rb))
-    ga0 = up.select_bit(t, up.sub(one, ra0), ra0)
-    ga1 = up.select_bit(t, up.neg(ra1), ra1)
+    a0 = up.select_bit(t, up.sub(one, ra0), ra0)
+    a1 = up.select_bit(t, up.neg(ra1), ra1)
+    return a0, a1
+
+
+def ltz_bit_math(d0, d1, rbits, rbit):
+    """Arithmetic shares of ltz(d) from additive shares of d (packed-32
+    compare + B2A — the circuit.py / converters.py round structure fused
+    over u32-pair planes). Returns per-party (lo, hi) u64-pair half-planes
+    holding 0/1 ring values."""
+    lz0, lz1 = _sign_bits_math(d0, d1, rbits)
+    return _b2a_bit_math(lz0, lz1, rbits, rbit)
+
+
+def max_step_math(c0, c1, r0, r1, rbits, rbit):
+    """The fused tournament step on u32-pair planes.
+
+    c/r: carry/rolled additive shares per party, each a (lo, hi) pair of
+    HALF-planes shaped (2, m).
+    rbits(): fresh uniform (lo, hi) u32-pair of word shape (m,).
+    rbit(): fresh uniform 0/1 uint32 plane of half-plane shape (2, m).
+
+    Returns new carry shares (lo, hi) pairs shaped (2, m) per party.
+    """
+    d0 = up.sub(c0, r0)
+    d1 = up.sub(c1, r1)
+    lz0, lz1 = _sign_bits_math(d0, d1, rbits)
+    # ge = NOT ltz (flip on party 0's share)
+    g0 = lz0 ^ up.U32(1)
+    g1 = lz1
+    ga0, ga1 = _b2a_bit_math(g0, g1, rbits, rbit)
 
     # ---- Beaver select: new = rolled + ge * (carry - rolled) --------------
     a20, a21 = _half_rbits(rbits), _half_rbits(rbits)
@@ -162,9 +190,9 @@ def max_step_math(c0, c1, r0, r1, rbits, rbit):
     c21 = up.sub(ab, c20)
     eps = up.add(up.sub(ga0, a20), up.sub(ga1, a21))
     delta = up.add(up.sub(d0, b20), up.sub(d1, b21))
-    prod0 = up.add(up.add(c20, up.mul(eps, b20)), up.mul(delta, a20))
-    prod0 = up.add(prod0, up.mul(eps, delta))
-    prod1 = up.add(up.add(c21, up.mul(eps, b21)), up.mul(delta, a21))
+    # prod = c + eps*b + ga*delta (ga = a + eps): one mul fewer per party
+    prod0 = up.add(up.add(c20, up.mul(eps, b20)), up.mul(delta, ga0))
+    prod1 = up.add(up.add(c21, up.mul(eps, b21)), up.mul(delta, ga1))
     n0 = up.add(r0, prod0)
     n1 = up.add(r1, prod1)
     return n0, n1
@@ -305,6 +333,157 @@ def fused_max_step_mpc(carry, rolled):
 
     return MPCTensor(
         ArithmeticSharedTensor(out.reshape(shape), carry.encoder)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused LTZ (generic comparison) kernel
+# ---------------------------------------------------------------------------
+
+_LTZ_TILE_ROWS = 128
+
+
+def _ltz_kernel_call(dl0, dl1, seeds):
+    """LOW u32 half-planes (2, R, 128) of each party's difference shares
+    (the packed-32 compare never reads the high plane). Returns the four
+    u32 planes (lo0, hi0, lo1, hi1) of the arithmetic 0/1 ltz-bit shares."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = dl0.shape[1]
+    tr = min(_LTZ_TILE_ROWS, rows)
+    assert rows % tr == 0
+    grid = rows // tr
+
+    def kernel(seed_ref, *refs):
+        dl0r, dl1r, ol0r, oh0r, ol1r, oh1r = refs
+        t = pl.program_id(0)
+        m0 = np.int32(-1640531527)
+        m1 = np.int32(-2048144789)
+        pltpu.prng_seed(seed_ref[0] ^ (t * m0), seed_ref[1] ^ ((t + 1) * m1))
+
+        def rbits():
+            lo = pltpu.prng_random_bits((tr, 128)).astype(jnp.uint32)
+            hi = pltpu.prng_random_bits((tr, 128)).astype(jnp.uint32)
+            return lo, hi
+
+        def rbit():
+            a = pltpu.prng_random_bits((tr, 128)).astype(jnp.uint32) & np.uint32(1)
+            b = pltpu.prng_random_bits((tr, 128)).astype(jnp.uint32) & np.uint32(1)
+            return jnp.stack([a, b])
+
+        d0 = (dl0r[...], jnp.zeros_like(dl0r[...]))
+        d1 = (dl1r[...], jnp.zeros_like(dl1r[...]))
+        a0, a1 = ltz_bit_math(d0, d1, rbits, rbit)
+        ol0r[...], oh0r[...] = a0
+        ol1r[...], oh1r[...] = a1
+
+    spec = pl.BlockSpec((2, tr, 128), lambda t: (0, t, 0))
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((2, rows, 128), jnp.uint32)
+                for _ in range(4)
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 2,
+            out_specs=(spec,) * 4,
+        )(seeds, dl0, dl1)
+    return outs
+
+
+def fused_ltz_shares(d_shares, seed_words):
+    """(2, n) uint64 additive shares of d -> (2, n) uint64 arithmetic
+    shares of the 0/1 bit ltz(d), computed in the packed-32 subring
+    (exact for |d| < 2^31 ring units — the cfg.mpc.compare_bits = 32
+    envelope). n pads internally to 2 * rows * 128 (pad shares 0:
+    ltz(0) = 0 — discarded by the final slice)."""
+    n = d_shares.shape[1]
+    m_raw = (n + 1) // 2
+    rows_raw = (m_raw + 127) // 128
+    tr = min(_LTZ_TILE_ROWS, 8 * ((rows_raw + 7) // 8))
+    rows = ((rows_raw + tr - 1) // tr) * tr
+    m = rows * 128
+    pad = 2 * m - n
+
+    def lo_planes(s):
+        flat = jnp.pad(s, ((0, pad),)) if pad else s
+        halves = flat.reshape(2, rows, 128)
+        lo, _hi = up.from_u64(halves)
+        return lo
+
+    ol0, oh0, ol1, oh1 = _ltz_kernel_call(
+        lo_planes(d_shares[0]), lo_planes(d_shares[1]), seed_words
+    )
+    out0 = up.to_u64(ol0, oh0).reshape(2 * m)[:n]
+    out1 = up.to_u64(ol1, oh1).reshape(2 * m)[:n]
+    return jnp.stack([out0, out1])
+
+
+_FUSED_LTZ_CACHE = {}
+
+
+def _get_fused_ltz(n):
+    if n in _FUSED_LTZ_CACHE:
+        return _FUSED_LTZ_CACHE[n]
+
+    @jax.custom_batching.custom_vmap
+    def fused(d_share, seed):
+        # unbatched = world_size 1 degenerate case: the share IS the value
+        d = jax.lax.bitcast_convert_type(d_share, jnp.int64)
+        return (d < 0).astype(jnp.uint64)
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, d_share, seed):  # noqa: ANN001
+        assert axis_size == 2, "fused_ltz supports exactly 2 simulated parties"
+        seed_comb = (seed[0] ^ seed[1]) if in_batched[1] else seed
+        out = fused_ltz_shares(d_share, seed_comb)
+        return out, True
+
+    _FUSED_LTZ_CACHE[n] = fused
+    return fused
+
+
+# below this, the Pallas pad would dominate: one (8, 128) PRNG tile mints
+# >= 1024 lanes anyway, and the composable path is cheap at these sizes
+_FUSED_LTZ_MIN_ELEMENTS = 1024
+
+
+def fused_ltz_mpc(x):
+    """MPCTensor-level fused LTZ (called inside the per-party vmap trace):
+    arithmetic 0/1 shares of (x < 0), one Mosaic kernel.
+
+    Every comparison funnels through MPCTensor._ltz (mpc.py:206), so this
+    single hook accelerates ge/gt/le/lt, sign/abs/relu, the gelu domain
+    checks, and the non-fused max methods. Registers the packed-32
+    composable path's exact round/byte profile (the kernel exchanges the
+    same messages internally): 7 all_xor reveals (S AND + 5 packed prefix
+    levels + B2A open).
+    """
+    from .. import comm
+    from .. import random as crng
+    from ..encoder import FixedPointEncoder
+    from ..mpc.mpc import MPCTensor
+    from ..mpc.primitives.arithmetic import ArithmeticSharedTensor
+    from .pallas_rng import seed_from_key
+
+    share = x.share
+    shape = share.shape
+    n = int(np.prod(shape)) if shape else 1
+    nw = (n + 1) // 2
+
+    # fresh key per call: two compares in one trace (e.g. gelu's sign and
+    # domain check) must never share kernel protocol randomness
+    seed = seed_from_key(crng._draw_key("local"))
+    out = _get_fused_ltz(n)(share.reshape(n), seed)
+
+    comm.register_virtual("all_xor", 2 * nw * 8, rounds=1)        # S AND
+    comm.register_virtual("all_xor", 5 * 4 * nw * 8, rounds=5)    # prefix
+    comm.register_virtual("all_xor", n * 8, rounds=1)             # B2A open
+
+    return MPCTensor(
+        ArithmeticSharedTensor(out.reshape(shape), FixedPointEncoder(0))
     )
 
 

@@ -89,6 +89,11 @@ def main():
 
         if _jax.default_backend() not in ("cpu",):
             curl_tpu.cfg.set("mpc.fused_max_step", "pallas_tpu")
+    if os.environ.get("BENCH_FUSED_COMPARE", "1") == "1":
+        import jax as _jax
+
+        if _jax.default_backend() not in ("cpu",):
+            curl_tpu.cfg.set("mpc.fused_compare", "pallas_tpu")
     if "BENCH_BULK_RNG" in os.environ:
         curl_tpu.cfg.set("mpc.bulk_rng", os.environ["BENCH_BULK_RNG"])
     else:
@@ -231,6 +236,58 @@ def main():
         be = curl_tpu.cryptensor(b)
         step = curl_tpu.compile_parties(lambda am, bm: am.matmul(bm), 2)
         _time("beaver_mm", step, ae.mpc, be.mpc, sync=sync, results=results)
+
+    # ---- lm_head sub-stage isolation (the Beaver matmul against the
+    # (D, V) weight costs ~10x its arithmetic-intensity floor; find where):
+    if want("mm_big"):
+        # full Beaver matmul at the lm_head shape
+        a = rng.normal(size=(BATCH * SEQ, D))
+        b = rng.normal(size=(D, V)) * 0.02
+        ae = curl_tpu.cryptensor(a)
+        be = curl_tpu.cryptensor(b)
+        step = curl_tpu.compile_parties(lambda am, bm: am.matmul(bm), 2)
+        _time("mm_big", step, ae.mpc, be.mpc, sync=sync, results=results)
+
+    if want("mm_big_pub"):
+        # ONE public ring matmul at the lm_head shape (the primitive the
+        # Beaver protocol invokes ~3x)
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from curl_tpu import ring as _ring
+
+        am = _jnp.asarray(
+            rng.integers(0, 1 << 63, size=(BATCH * SEQ, D), dtype=np.uint64)
+        )
+        bm = _jnp.asarray(
+            rng.integers(0, 1 << 63, size=(D, V), dtype=np.uint64)
+        )
+
+        @_jax.jit
+        def f(x, y):
+            return _ring.matmul(x, y)
+
+        class _W:  # shim for _time's (key, *args) signature
+            pass
+
+        step = lambda key, x, y: f(x, y)  # noqa: E731
+        _time("mm_big_pub", step, am, bm, sync=sync, results=results)
+
+    if want("rng_big"):
+        # bulk protocol randomness at the weight-mask shape (D, V)
+        import jax as _jax
+
+        from curl_tpu import random as _crng
+
+        @_jax.jit
+        def f(key):
+            with _crng.KeyContext(
+                {"local": key, "prev": key, "next": key, "global": key}
+            ):
+                return _crng.random_ring((D, V), "local")
+
+        step = lambda key: f(key)  # noqa: E731
+        _time("rng_big", step, sync=sync, results=results)
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                             "benchmarks", "results",

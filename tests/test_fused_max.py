@@ -153,3 +153,60 @@ def test_fused_matches_unfused_protocol(rng):
     # one fixed-point quantum of slack: this test's encode rounds slightly
     # differently from FixedPointEncoder; the protocols themselves are exact
     np.testing.assert_allclose(dec, want, atol=1.6e-5)
+
+
+def test_ltz_bit_math_exact(rng):
+    """Fused LTZ math: decoded arithmetic bit shares == sign of the
+    difference, over random values plus ring-edge cases."""
+    from curl_tpu.ops.pallas_max_step import ltz_bit_math
+
+    rows = 8
+    n = 2 * rows * 128
+    vals = (rng.normal(size=n) * 1000).astype(np.float64)
+    vals[0] = 0.0
+    vals[1] = -1.0 / 65536          # smallest negative quantum
+    vals[2] = 1.0 / 65536
+    vals[3] = -16000.0              # packed-32 envelope extremes
+    vals[4] = 16000.0
+    enc = np.round(vals * 65536).astype(np.int64)
+    d = enc.astype(np.uint64)
+    d0 = _r64(rng, n)
+    d1 = d - d0
+
+    def planes(s):
+        return up.from_u64(jnp.asarray(s.reshape(2, rows, 128)))
+
+    rbits, rbit = _make_rand_source(7, rows)
+    a0, a1 = ltz_bit_math(planes(d0), planes(d1), rbits, rbit)
+    out0 = np.asarray(up.to_u64(*a0)).reshape(n)
+    out1 = np.asarray(up.to_u64(*a1)).reshape(n)
+    got = out0 + out1  # uint64 wraparound = mod 2^64 reconstruction
+    want = (enc < 0).astype(np.uint64)
+    np.testing.assert_array_equal(got, want)
+    # shares are masked (not the plaintext bit)
+    assert not np.array_equal(out0, want)
+
+
+def test_ltz_bit_math_fresh_shares(rng):
+    from curl_tpu.ops.pallas_max_step import ltz_bit_math
+
+    rows = 8
+    n = 2 * rows * 128
+    d = _r64(rng, n) >> np.uint64(33)  # small positive values
+    d0 = _r64(rng, n)
+    d1 = d - d0
+
+    def planes(s):
+        return up.from_u64(jnp.asarray(s.reshape(2, rows, 128)))
+
+    outs = []
+    for seed in (11, 12):
+        rbits, rbit = _make_rand_source(seed, rows)
+        a0, a1 = ltz_bit_math(planes(d0), planes(d1), rbits, rbit)
+        outs.append(
+            (np.asarray(up.to_u64(*a0)).reshape(n),
+             np.asarray(up.to_u64(*a1)).reshape(n))
+        )
+    np.testing.assert_array_equal(outs[0][0] + outs[0][1],
+                                  outs[1][0] + outs[1][1])
+    assert not np.array_equal(outs[0][0], outs[1][0])
