@@ -108,20 +108,68 @@ class GPT(nn.Module):
             ).reshape(b, t, self.vocab_size)
         return x
 
+    # -- HF weight mapping ----------------------------------------------
+    def load_hf_state_dict(self, sd):
+        """Map a HuggingFace ``GPT2LMHeadModel`` (or bare ``GPT2Model``)
+        state_dict onto this model.
+
+        HF's Conv1D layers store weights input-major ``(in, out)``; our
+        Linear stores ``(out, in)``, so c_attn/c_proj/c_fc weights are
+        transposed. The LM head is weight-tied to ``wte`` and bias-free.
+        The reference has no GPT checkpoint loader (its gpt.py runs random
+        weights); this is the path a reference user coming from HF needs.
+        """
+
+        def g(key):
+            t = sd[key]
+            return jnp.asarray(
+                t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                jnp.float64,
+            )
+
+        pfx = "transformer." if any(k.startswith("transformer.") for k in sd) else ""
+        assert self.full, "load_hf_state_dict needs the full model (full=True)"
+        self.tok_embed._parameters["weight"] = g(pfx + "wte.weight")
+        self._parameters["pos_embed"] = g(pfx + "wpe.weight")[None, : self.seq_len]
+        for i, blk in enumerate(self.blocks._modules.values()):
+            p = f"{pfx}h.{i}."
+            blk.ln1._parameters["weight"] = g(p + "ln_1.weight")
+            blk.ln1._parameters["bias"] = g(p + "ln_1.bias")
+            blk.ln2._parameters["weight"] = g(p + "ln_2.weight")
+            blk.ln2._parameters["bias"] = g(p + "ln_2.bias")
+            blk.attn.search._parameters["weight"] = g(p + "attn.c_attn.weight").T
+            blk.attn.search._parameters["bias"] = g(p + "attn.c_attn.bias")
+            blk.attn.proj._parameters["weight"] = g(p + "attn.c_proj.weight").T
+            blk.attn.proj._parameters["bias"] = g(p + "attn.c_proj.bias")
+            blk.ff[0]._parameters["weight"] = g(p + "mlp.c_fc.weight").T
+            blk.ff[0]._parameters["bias"] = g(p + "mlp.c_fc.bias")
+            blk.ff[2]._parameters["weight"] = g(p + "mlp.c_proj.weight").T
+            blk.ff[2]._parameters["bias"] = g(p + "mlp.c_proj.bias")
+        self.ln._parameters["weight"] = g(pfx + "ln_f.weight")
+        self.ln._parameters["bias"] = g(pfx + "ln_f.bias")
+        # LM head: weight-tied to wte, no bias in HF
+        head_key = "lm_head.weight" if "lm_head.weight" in sd else pfx + "wte.weight"
+        self.fc._parameters["weight"] = g(head_key)
+        self.fc._parameters["bias"] = jnp.zeros((self.vocab_size,), jnp.float64)
+        return self
+
 
 class GPT2(GPT):
-    def __init__(self, seq_len, full=True):
+    def __init__(self, seq_len, full=True, causal=False):
         super().__init__(embed_dim=768, num_heads=12, num_blocks=12,
-                         vocab_size=50257, seq_len=seq_len, full=full)
+                         vocab_size=50257, seq_len=seq_len, full=full,
+                         causal=causal)
 
 
 class GPTNeo(GPT):
-    def __init__(self, seq_len, full=True):
+    def __init__(self, seq_len, full=True, causal=False):
         super().__init__(embed_dim=2048, num_heads=16, num_blocks=24,
-                         vocab_size=50257, seq_len=seq_len, full=full)
+                         vocab_size=50257, seq_len=seq_len, full=full,
+                         causal=causal)
 
 
 class GPTNeoLarge(GPT):
-    def __init__(self, seq_len, full=True):
+    def __init__(self, seq_len, full=True, causal=False):
         super().__init__(embed_dim=2560, num_heads=20, num_blocks=32,
-                         vocab_size=50257, seq_len=seq_len, full=full)
+                         vocab_size=50257, seq_len=seq_len, full=full,
+                         causal=causal)

@@ -110,7 +110,13 @@ class Module:
         for m in self.modules():
             for name, p in list(m._parameters.items()):
                 if not curl_tpu.is_encrypted_tensor(p):
-                    m._parameters[name] = curl_tpu.cryptensor(p, src=src)
+                    # parameters are trainable by default, exactly like the
+                    # reference (module.py:120-127 registers with
+                    # requires_grad=True; encrypt() at :478 preserves it), so
+                    # SGD(model.parameters()) works without a manual flag
+                    m._parameters[name] = curl_tpu.cryptensor(
+                        p, src=src, requires_grad=True
+                    )
             m.encrypted = True
         return self
 
@@ -211,8 +217,12 @@ class Module:
 
     # -- training-side helpers (reference module.py:321-347) -----------------
     def zero_grad(self):
-        for m in self.modules():
-            m._grads = {}
+        """Clear accumulated gradients on every parameter (reference
+        module.py:313-316) — backward ACCUMULATES into .grad, so training
+        loops must reset between steps."""
+        for p in self.parameters():
+            if hasattr(p, "grad"):
+                p.grad = None
         return self
 
     def update_parameters(self, learning_rate, grad_threshold=100):

@@ -221,6 +221,27 @@ def _combine_planes(planes: jax.Array) -> jax.Array:
     return out
 
 
+def _pallas_mm_enabled(M: int, K: int, N: int) -> bool:
+    """Use the fused Pallas limb-matmul kernel (ops/pallas_ring_mm.py)?
+
+    Pure local math, valid under every runtime; gated to the TPU backend
+    (where the XLA path's HBM-materialized limb planes are ~14x above the
+    traffic floor) and to sizes where tile padding cannot dominate.
+    mpc.ring_mm_kernel: "auto" (default, on for TPU) | "off" | "pallas_tpu".
+    """
+    try:
+        from .config import cfg
+
+        mode = str(cfg.mpc.ring_mm_kernel)
+    except Exception:  # noqa: BLE001 — config not loaded yet
+        mode = "auto"
+    if mode == "off":
+        return False
+    if jax.default_backend() not in ("tpu",):
+        return False
+    return M * K * N >= (1 << 16)
+
+
 def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Exact uint64 ring matmul via one large int8 MXU matmul.
 
@@ -257,7 +278,24 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
         return matmul(a[..., :half], b[..., :half, :]) + matmul(
             a[..., half:], b[..., half:, :]
         )
+    if _pallas_mm_enabled(M, K, N):
+        from .ops import pallas_ring_mm
 
+        out = pallas_ring_mm.matmul(a, b)
+    else:
+        out = _xla_matmul(a, b)
+    if squeeze_a:
+        out = out[..., 0, :]
+    if squeeze_b:
+        out = out[..., 0]
+    return out
+
+
+def _xla_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """The portable XLA limb path (batch dims already broadcast)."""
+    batch = a.shape[:-2]
+    M, K = a.shape[-2], a.shape[-1]
+    N = b.shape[-1]
     da = _balanced_limbs(a)           # (..., M, K, 8)
     db = _balanced_limbs(b)           # (..., K, N, 8)
     # lay limbs out as (..., 8*M, K) and (..., K, 8*N)
@@ -276,12 +314,7 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     planes = planes.reshape(batch + (N_LIMBS, M, N_LIMBS, N))
     perm = tuple(range(nb)) + (nb + 1, nb + 3, nb, nb + 2)
     planes = jnp.transpose(planes, perm)           # (..., M, N, 8_i, 8_j)
-    out = _combine_planes(planes)
-    if squeeze_a:
-        out = out[..., 0, :]
-    if squeeze_b:
-        out = out[..., 0]
-    return out
+    return _combine_planes(planes)
 
 
 def vecdot(a: jax.Array, b: jax.Array) -> jax.Array:

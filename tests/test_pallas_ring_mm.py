@@ -1,0 +1,86 @@
+"""Fused Pallas ring-matmul: bit-exactness vs the XLA limb path.
+
+The kernel math runs in interpreter mode on CPU, so the exact traced code
+is validated off-device against ring.matmul (itself golden-tested for
+mod-2^64 exactness in tests/test_ring.py).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curl_tpu import ring
+from curl_tpu.ops import pallas_ring_mm as pmm
+
+
+def rand_u64(rng, shape):
+    return jnp.asarray(
+        rng.integers(0, 1 << 64, size=shape, dtype=np.uint64)
+    )
+
+
+@pytest.mark.parametrize(
+    "M,K,N",
+    [
+        (4, 16, 8),            # tiny: exercises full-tile padding
+        (64, 512, 256),        # exactly one tile
+        (65, 700, 300),        # ragged in every dim
+        (128, 1024, 512),      # multi-tile in m, k, n
+    ],
+)
+def test_matches_xla_ring_matmul(M, K, N):
+    rng = np.random.default_rng(42 + M)
+    a = rand_u64(rng, (M, K))
+    b = rand_u64(rng, (K, N))
+    ref = ring.matmul(a, b)
+    got = pmm.matmul_3d(a[None], b[None], interpret=True)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_batched_and_vmap():
+    import jax
+
+    rng = np.random.default_rng(7)
+    a = rand_u64(rng, (3, 8, 96))
+    b = rand_u64(rng, (3, 96, 40))
+    ref = ring.matmul(a, b)
+
+    # interpret mode for the CPU test environment
+    orig = pmm.matmul_3d
+    pmm_interp = lambda x, y: orig(x, y, interpret=True)  # noqa: E731
+    try:
+        pmm.matmul_3d = pmm_interp
+        got = pmm.matmul(a, b)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        # party-style vmap over a leading axis folds into the batch grid
+        a2 = rand_u64(rng, (2, 8, 64))
+        b2 = rand_u64(rng, (2, 64, 24))
+        ref2 = ring.matmul(a2, b2)
+        got2 = jax.vmap(lambda x, y: pmm.matmul(x, y))(a2, b2)
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+        # vmap with an unbatched (public) right operand
+        got3 = jax.vmap(lambda x: pmm.matmul(x, b2[0]))(a2)
+        ref3 = ring.matmul(a2, jnp.broadcast_to(b2[0], (2, 64, 24)))
+        np.testing.assert_array_equal(np.asarray(got3), np.asarray(ref3))
+    finally:
+        pmm.matmul_3d = orig
+
+
+def test_tile_math_standalone():
+    """The in-kernel decompose/contract step agrees with the XLA limb path
+    on one unpadded tile."""
+    rng = np.random.default_rng(3)
+    a = rand_u64(rng, (64, 512))
+    b = rand_u64(rng, (512, 256))
+    from curl_tpu.ops import u64pair as up
+
+    al, ah = up.from_u64(a)
+    bl, bh = up.from_u64(b)
+    acc = pmm.mm_tile_math(al, ah, bl, bh)
+    lo, hi = pmm._combine_planes_pair(acc, 64, 256)
+    got = up.to_u64(lo, hi)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(ring.matmul(a, b))
+    )
