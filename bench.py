@@ -159,6 +159,15 @@ def _run(seq):
         # every _ltz-derived comparison (relu/sign/gelu checks) as one
         # fused kernel (ops/pallas_max_step.fused_ltz_mpc)
         curl_tpu.cfg.set("mpc.fused_compare", "pallas_tpu")
+    if "BENCH_FUSED_MUL" in os.environ:
+        if os.environ["BENCH_FUSED_MUL"] == "1":
+            curl_tpu.cfg.set("mpc.fused_mul", "pallas_tpu")
+    elif on_tpu:
+        # elementwise private mul/square + rescale as one fused kernel
+        # (ops/pallas_mul.py; validated by scripts/validate_fused_mul.py)
+        curl_tpu.cfg.set("mpc.fused_mul", "pallas_tpu")
+    if "BENCH_RING_MM" in os.environ:
+        curl_tpu.cfg.set("mpc.ring_mm_kernel", os.environ["BENCH_RING_MM"])
     if "BENCH_LUT_FASTPATH" in os.environ:
         curl_tpu.cfg.set("mpc.lut_fastpath", os.environ["BENCH_LUT_FASTPATH"] == "1")
     if "BENCH_SCAN_WIDTH" in os.environ:

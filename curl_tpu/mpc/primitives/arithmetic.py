@@ -211,6 +211,21 @@ class ArithmeticSharedTensor:
             result.share, FixedPointEncoder(int(math.log2(max(y_scale, 1))))
         )
 
+    def _fused_mul_mode(self, y):
+        """(trunc, m) for the fused elementwise mul kernel
+        (ops/pallas_mul.py), or None for the composable path. Covers the
+        two hot scale patterns; mixed-scale products keep the composable
+        rescale bookkeeping."""
+        from ...ops import pallas_mul
+
+        if not pallas_mul.fused_available(self, y):
+            return None
+        if self.encoder.scale > 1 and y.encoder.scale > 1:
+            return str(cfg.encoder.trunc_method.prod), self.encoder.precision_bits
+        if self.encoder.scale == 1 and y.encoder.scale == 1:
+            return "none", 0
+        return None
+
     def mul(self, y):
         import numbers
 
@@ -220,6 +235,11 @@ class ArithmeticSharedTensor:
             encoded = jnp.asarray(self.encoder.encode(y))
             out = self.with_share(self.share * encoded)
             return self._rescale_product(out, self.encoder.scale)
+        fused = self._fused_mul_mode(y)
+        if fused is not None:
+            from ...ops import pallas_mul
+
+            return pallas_mul.fused_mul_mpc(self, y, *fused)
         protocol = _get_protocol()
         out = protocol.mul(self, y)
         return self._rescale_product(out, y.encoder.scale)
@@ -263,6 +283,15 @@ class ArithmeticSharedTensor:
         return self._rescale_product(out, kernel.encoder.scale)
 
     def square(self):
+        from ...ops import pallas_mul
+
+        if pallas_mul.fused_available(self):
+            # square always rescales crypten-locally (div_trunc), matching
+            # the composable path below and the reference (mpc square)
+            return pallas_mul.fused_square_mpc(
+                self, "crypten", self.encoder.precision_bits
+                if self.encoder.scale > 1 else 0
+            )
         protocol = _get_protocol()
         out = protocol.square(self)
         return out.div_trunc(self.encoder.scale)

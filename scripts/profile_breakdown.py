@@ -94,6 +94,13 @@ def main():
 
         if _jax.default_backend() not in ("cpu",):
             curl_tpu.cfg.set("mpc.fused_compare", "pallas_tpu")
+    if os.environ.get("BENCH_FUSED_MUL", "1") == "1":
+        import jax as _jax
+
+        if _jax.default_backend() not in ("cpu",):
+            curl_tpu.cfg.set("mpc.fused_mul", "pallas_tpu")
+    if "BENCH_RING_MM" in os.environ:
+        curl_tpu.cfg.set("mpc.ring_mm_kernel", os.environ["BENCH_RING_MM"])
     if "BENCH_BULK_RNG" in os.environ:
         curl_tpu.cfg.set("mpc.bulk_rng", os.environ["BENCH_BULK_RNG"])
     else:

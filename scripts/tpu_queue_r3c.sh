@@ -11,6 +11,7 @@ run() {
 }
 # 1. kernel validation + microbench at the hot shapes
 run python -u scripts/validate_ring_mm.py
+run python -u scripts/validate_fused_mul.py
 # 2. stage re-profile: how much did mm_big/embed move
 BENCH_SCAN_WIDTH=16384 SEQ=64 run python -u scripts/profile_breakdown.py embed block mm_big lm_head vocab_sm
 # 3. headline with the kernel
