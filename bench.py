@@ -166,6 +166,13 @@ def _run(seq):
         # elementwise private mul/square + rescale as one fused kernel
         # (ops/pallas_mul.py; validated by scripts/validate_fused_mul.py)
         curl_tpu.cfg.set("mpc.fused_mul", "pallas_tpu")
+    if "BENCH_FUSED_TRUNC" in os.environ:
+        if os.environ["BENCH_FUSED_TRUNC"] == "1":
+            curl_tpu.cfg.set("mpc.fused_trunc", "pallas_tpu")
+    elif on_tpu:
+        # standalone EGK truncation (per-LUT-call index trunc) as the same
+        # fused kernel family (ops/pallas_mul.fused_trunc_mpc)
+        curl_tpu.cfg.set("mpc.fused_trunc", "pallas_tpu")
     if "BENCH_RING_MM" in os.environ:
         curl_tpu.cfg.set("mpc.ring_mm_kernel", os.environ["BENCH_RING_MM"])
     if "BENCH_LUT_FASTPATH" in os.environ:
@@ -201,7 +208,14 @@ def _run(seq):
 
     model_cls = getattr(models, MODEL)
     model = model_cls(seq_len=seq, full=FULL)
-    model.encrypt(src=0)
+    if "BENCH_COMPRESS" in os.environ:
+        compress = os.environ["BENCH_COMPRESS"] == "1"
+    else:
+        # GPT-Neo-scale weights cannot materialize both parties' shares in
+        # one chip's HBM (1.3B x 8B x 2 = 21 GB > 16 GB); seed-compressed
+        # shares halve at-rest share memory (mpc/primitives/compressed.py)
+        compress = MODEL in ("GPTNeo", "GPTNeoLarge")
+    model.encrypt(src=0, seed_compress=compress)
     apply_fn, params = model.functional()
 
     rng = np.random.default_rng(0)

@@ -726,8 +726,26 @@ def softmax(self, dim=-1, mask=None, **kwargs):
         numerator = logits.exp()
     if mask is not None:
         numerator = numerator.mul(mask)
+    denominator = numerator.sum(axis=dim, keepdim=True)
     with cfg.temp_override({"functions.reciprocal_all_pos": True}):
-        inv_denominator = numerator.sum(axis=dim, keepdim=True).reciprocal()
+        inv_denominator = denominator.reciprocal()
+    # Newton refinement of the LUT reciprocal: r <- r(2 - s r) squares the
+    # relative error per step. The 8-bit haar table over [0, 64] has cells
+    # 0.25 wide, so near s ~ 1.5 (a peaked softmax row) the raw LUT is off
+    # by up to ~16% RELATIVE — measured identically on the actual reference
+    # (same table math, reference approximations.py:1150-1166); two steps
+    # take that to ~1e-3 for two extra Beaver muls on the (rows, 1)
+    # denominator — negligible next to the exp/max stages. Set
+    # functions.softmax_recip_refine: 0 for reference-exact parity mode.
+    try:
+        refine = int(cfg.functions.softmax_recip_refine)
+    except AttributeError:
+        refine = 2
+    for _ in range(refine):
+        inv_denominator = (
+            inv_denominator + inv_denominator
+            - denominator.mul(inv_denominator.square())
+        )
     return numerator * inv_denominator
 
 

@@ -483,4 +483,18 @@ class MPCTensor:
 
 
 def _unwrap(y):
-    return y._tensor if isinstance(y, MPCTensor) else y
+    if isinstance(y, MPCTensor):
+        return y._tensor
+    # A CrypTensor captured in a closure inside a per-party trace: its share
+    # carries the stacked party axis (world_size, ...). Using it directly
+    # would treat the whole share stack as public data (wrong values AND a
+    # privacy leak), so slice out this lane's share by traced party rank.
+    mpc = getattr(y, "mpc", None)
+    if mpc is not None and isinstance(mpc, MPCTensor):
+        t = mpc._tensor
+        ws = comm.get_world_size()
+        if ws >= 2 and t.share.ndim >= 1 and t.share.shape[0] == ws:
+            lane = jnp.take(t.share, comm.rank_signed(), axis=0)
+            return type(t)(lane, t.encoder)
+        return t
+    return y

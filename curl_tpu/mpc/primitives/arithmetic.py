@@ -339,6 +339,12 @@ class ArithmeticSharedTensor:
         """EGK+20 probabilistic truncation by m bits (arithmetic.py:508)."""
         if m == 0:
             return self
+        from ...ops import pallas_mul
+
+        # fused kernel implements the l=62 instance (the only l used by the
+        # LUT index truncations and product rescale)
+        if l == 62 and pallas_mul.fused_available(self, key="fused_trunc"):
+            return pallas_mul.fused_trunc_mpc(self, m)
         protocol = _get_protocol()
         return ArithmeticSharedTensor(
             protocol.egk_trunc_pr(self, l, m).share, self.encoder

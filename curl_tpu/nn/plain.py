@@ -191,6 +191,20 @@ class PlainTensor:
     def reciprocal(self):
         return self._w(1.0 / self.v)
 
+    def inv_sqrt(self):
+        return self._w(1.0 / jnp.sqrt(self.v))
+
+    def max_value(self, dim=None, keepdim=False):
+        if dim is None:
+            return self._w(self.v.max())
+        return self._w(self.v.max(axis=dim, keepdims=keepdim))
+
+    def evaluate_embed(self, embed):
+        """Plain embedding lookup: integer-index table gather (the exact
+        semantics the private rotated-one-hot protocol computes)."""
+        table = jnp.asarray(self._val(embed))
+        return self._w(table[self.v.astype(jnp.int32)])
+
     def softmax(self, dim=-1, mask=None, **kw):
         # honor the public mask exactly like the encrypted softmax does
         # (masked lanes pinned to 0) — otherwise plain-mode causal

@@ -153,11 +153,13 @@ def egk_trunc_math(z0, z1, m: int, r64, rk, l: int = 62):
 
 
 def fused_op_math(op, trunc, m, x0, x1, y0, y1, r64, rk):
-    """op in {mul, square}; trunc in {none, egk, crypten}."""
+    """op in {mul, square, trunc}; trunc in {none, egk, crypten}."""
     if op == "mul":
         z0, z1 = beaver_mul_math(x0, x1, y0, y1, r64)
-    else:
+    elif op == "square":
         z0, z1 = beaver_square_math(x0, x1, r64)
+    else:  # standalone truncation of existing shares (LUT index trunc)
+        z0, z1 = x0, x1
     if trunc == "egk":
         z0, z1 = egk_trunc_math(z0, z1, m, r64, rk)
     elif trunc == "crypten":
@@ -259,7 +261,12 @@ def _get_fused(op, trunc, m, n):
     @jax.custom_batching.custom_vmap
     def fused(x_share, y_share, seed):
         # world_size-1 degenerate case: shares ARE the values
-        z = x_share * y_share if op == "mul" else x_share * x_share
+        if op == "mul":
+            z = x_share * y_share
+        elif op == "square":
+            z = x_share * x_share
+        else:
+            z = x_share
         if trunc in ("egk", "crypten"):
             from .. import ring
 
@@ -282,14 +289,15 @@ def _get_fused(op, trunc, m, n):
 _FUSED_MUL_MIN_ELEMENTS = 1024
 
 
-def fused_available(x, y=None) -> bool:
+def fused_available(x, y=None, key="fused_mul") -> bool:
     """2PC vmap runtime + TFP + TPU + elementwise size worth a kernel —
-    the pallas_max_step scope rules."""
+    the pallas_max_step scope rules. ``key`` selects the config gate
+    (mpc.fused_mul for mul/square, mpc.fused_trunc for standalone trunc)."""
     from .. import comm
     from ..config import cfg
 
     try:
-        enabled = cfg.mpc.fused_mul == "pallas_tpu"
+        enabled = getattr(cfg.mpc, key) == "pallas_tpu"
     except AttributeError:
         return False
     if not enabled:
@@ -309,8 +317,14 @@ def fused_available(x, y=None) -> bool:
 
     if getattr(get_default_provider(), "NAME", None) != "TFP":
         return False
-    if getattr(get_default_provider(), "_serving_cache", None) is not None:
-        return False
+    # NOTE: deliberately NOT gated on the tuple cache. The kernel draws its
+    # randomness in-kernel (hardware PRNG) and makes no provider requests,
+    # so it must engage identically in the cache RECORDING trace and the
+    # cache SERVING trace — gating on _serving_cache alone desynchronizes
+    # the positional tuple stream (request N of the serve trace would pop
+    # entry N of a differently-shaped record trace). Same design as the
+    # fused max-step kernel. mpc.fused_mul: null forces every product's
+    # randomness through the offline provider path.
     return (
         comm.get_world_size() == 2
         and comm.get_runtime() == "vmap"
@@ -334,11 +348,12 @@ def _run(op, x, y, trunc, m):
             xs.reshape(n), ys.reshape(n), seed
         )
         comm.register_virtual("all_sum", 2 * n * 8, rounds=1)      # eps,delta
-    else:
-        out = _get_fused("square", trunc, m, n)(
+    else:  # square / trunc take only x
+        out = _get_fused(op, trunc, m, n)(
             xs.reshape(n), xs.reshape(n), seed
         )
-        comm.register_virtual("all_sum", n * 8, rounds=1)          # eps
+        if op == "square":
+            comm.register_virtual("all_sum", n * 8, rounds=1)      # eps
     if trunc == "egk":
         comm.register_virtual("all_sum", n * 8, rounds=1)          # EGK c
     return ArithmeticSharedTensor(out.reshape(shape), x.encoder)
@@ -352,3 +367,11 @@ def fused_mul_mpc(x, y, trunc: str, m: int):
 def fused_square_mpc(x, trunc: str, m: int):
     """Private x^2 with fused rescale."""
     return _run("square", x, None, trunc, m)
+
+
+def fused_trunc_mpc(x, m: int):
+    """Standalone EGK+20 probabilistic truncation by 2^m as one kernel —
+    the per-LUT-call index truncation (_trunc_lut / bior's final trunc,
+    beaver.egk_trunc_pr): masking randomness (r, r', b) from the hardware
+    PRNG, the single c-reveal, and the reconstruction all in VMEM."""
+    return _run("trunc", x, None, "egk", m)

@@ -136,6 +136,28 @@ def test_softmax():
     np.testing.assert_allclose(out.sum(-1), 1.0, atol=0.2)
 
 
+def test_softmax_refined_beats_raw_lut():
+    """The default Newton-refined denominator (softmax_recip_refine) beats
+    the reference's raw haar-LUT reciprocal: on data whose denominators land
+    mid-cell (measured 0.12 max error on the ACTUAL reference via shims),
+    the refined softmax stays within the exp-table envelope, and refinement
+    strictly reduces the error."""
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(12, 6))
+    x = rng.normal(size=(8, 12))
+    logits = x @ w
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    ref = e / e.sum(-1, keepdims=True)
+
+    out = enc(logits).softmax(-1).get_plain_text()
+    assert np.abs(out - ref).max() < 2.5e-2
+    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=2.5e-2)
+
+    with curl_tpu.cfg.temp_override({"functions.softmax_recip_refine": 0}):
+        raw = enc(logits).softmax(-1).get_plain_text()
+    assert np.abs(out - ref).max() < np.abs(raw - ref).max()
+
+
 def test_log_softmax():
     rng = np.random.default_rng(8)
     x = rng.normal(size=(2, 6)) * 2

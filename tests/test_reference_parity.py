@@ -48,7 +48,17 @@ def test_parity_with_reference():
         xs = np.linspace(lo, hi, n)
         enc = curl_tpu.cryptensor(xs)
         if name == "softmax":
-            got = enc.reshape(4, 16).softmax(-1).get_plain_text().reshape(-1)
+            # parity mode: the golden file captures the reference's RAW LUT
+            # denominator reciprocal; our default adds Newton refinement
+            # (more accurate than the reference — see test_functions.py
+            # softmax-accuracy test), which is exactly the deviation this
+            # table-math parity check must not measure.
+            with curl_tpu.cfg.temp_override(
+                {"functions.softmax_recip_refine": 0}
+            ):
+                got = (
+                    enc.reshape(4, 16).softmax(-1).get_plain_text().reshape(-1)
+                )
         else:
             got = getattr(enc, name)().get_plain_text()
         ref = data[name]
