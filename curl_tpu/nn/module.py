@@ -104,9 +104,20 @@ class Module:
             yield p
 
     # -- encryption (reference module.py:471-509) -------------------------
-    def encrypt(self, mode=True, src=0):
+    def encrypt(self, mode=True, src=0, seed_compress=False):
+        """Encrypt parameters (reference module.py:471-509).
+
+        ``seed_compress=True`` (2PC, compiled/inference path only): store
+        parameters as seed-compressed shares — party 1's share is PRG(key)
+        regenerated at the point of use inside the compiled program, so
+        at-rest share memory halves (mpc/primitives/compressed.py). This is
+        what fits GPT-Neo-scale models in one chip's HBM. Compressed
+        parameters are not trainable and have no eager-op surface.
+        """
         if not mode:
             return self.decrypt()
+        if seed_compress:
+            return self._encrypt_compressed()
         for m in self.modules():
             for name, p in list(m._parameters.items()):
                 if not curl_tpu.is_encrypted_tensor(p):
@@ -117,6 +128,24 @@ class Module:
                     m._parameters[name] = curl_tpu.cryptensor(
                         p, src=src, requires_grad=True
                     )
+            m.encrypted = True
+        return self
+
+    def _encrypt_compressed(self):
+        from ..mpc.mpc import MPCTensor
+        from ..mpc.primitives.compressed import SeedCompressedArithmetic
+
+        master = jax.random.fold_in(_init_key(), 0x5EEDC0)
+        n_drawn = 0
+        for m in self.modules():
+            for name, p in list(m._parameters.items()):
+                if curl_tpu.is_encrypted_tensor(p):
+                    continue
+                key = jax.random.fold_in(master, n_drawn)
+                n_drawn += 1
+                m._parameters[name] = MPCTensor(
+                    SeedCompressedArithmetic.encrypt(jnp.asarray(p), key)
+                )
             m.encrypted = True
         return self
 

@@ -61,6 +61,30 @@ def mpc_context(keys, world_size: int, runtime: str = "vmap"):
         comm.set_runtime(old_rt)
 
 
+def _arg_axes(a):
+    """vmap in_axes for one arg pytree: 0 for party-stacked leaves, None
+    for seed-compressed parameter subtrees (share0/key are party-invariant
+    — the whole point of compression is ONE resident copy, expanded
+    per-lane at use; see mpc/primitives/compressed.py)."""
+    from ..mpc.mpc import MPCTensor
+    from ..mpc.primitives.compressed import SeedCompressedArithmetic
+
+    def is_node(x):
+        return isinstance(x, (MPCTensor, SeedCompressedArithmetic))
+
+    def axis(x):
+        t = x._tensor if isinstance(x, MPCTensor) else x
+        return None if isinstance(t, SeedCompressedArithmetic) else 0
+
+    tree = jax.tree_util.tree_map(axis, a, is_leaf=is_node)
+    if not any(
+        v is None
+        for v in jax.tree_util.tree_leaves(tree, is_leaf=lambda v: v is None)
+    ):
+        return 0
+    return tree
+
+
 def _split_args(args):
     in_axes = []
     vals = []
@@ -70,7 +94,7 @@ def _split_args(args):
             in_axes.append(None)
         else:
             vals.append(a)
-            in_axes.append(0)
+            in_axes.append(_arg_axes(a))
     return vals, in_axes
 
 

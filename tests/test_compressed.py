@@ -1,0 +1,116 @@
+"""Seed-compressed 2PC shares (mpc/primitives/compressed.py): party 1's
+share is PRG(key) regenerated at use, share0 = w - r is the only resident
+share — the memory design that fits GPT-Neo on one chip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import curl_tpu
+from curl_tpu.mpc.primitives.compressed import (
+    SeedCompressedArithmetic,
+    bits_for_impl,
+)
+
+
+@pytest.fixture(autouse=True)
+def _init():
+    curl_tpu.init(world_size=2, seed=5)
+
+
+def test_expansion_reconstructs_plaintext():
+    vals = np.linspace(-8, 8, 96).reshape(6, 16)
+    key = jax.random.PRNGKey(7)
+    t = SeedCompressedArithmetic.encrypt(vals, key)
+    # share0 + PRG(key) must decode to the fixed-point encoding of vals
+    r = bits_for_impl(key, t.share0.shape, t._impl)
+    dec = np.asarray((t.share0 + r).view(jnp.int64)).astype(np.float64)
+    np.testing.assert_allclose(
+        dec / t.encoder.scale, vals, atol=1.0 / t.encoder.scale
+    )
+
+
+def test_pytree_roundtrip_and_vmap_axes():
+    from curl_tpu.mpc.mpc import MPCTensor
+    from curl_tpu.parallel.runner import _arg_axes
+
+    t = SeedCompressedArithmetic.encrypt(np.ones((4, 4)), jax.random.PRNGKey(1))
+    leaves, treedef = jax.tree_util.tree_flatten(MPCTensor(t))
+    assert len(leaves) == 2  # share0, key — no materialized party axis
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(rebuilt._tensor, SeedCompressedArithmetic)
+
+    # params mixing stacked MPCTensor leaves and compressed leaves produce a
+    # per-subtree in_axes pytree (None over compressed, 0 elsewhere)
+    stacked = curl_tpu.cryptensor(np.ones((2, 2))).mpc
+    axes = _arg_axes({"a": stacked, "b": MPCTensor(t)})
+    assert axes == {"a": 0, "b": None}
+    assert _arg_axes({"a": stacked}) == 0
+
+
+def test_compressed_model_forward_matches_plain():
+    """Tiny Linear+GELU+Linear: seed-compressed compiled forward decodes to
+    the plain forward within LUT envelope, and matches the same model
+    encrypted the materialized way."""
+    from curl_tpu import nn
+    from curl_tpu.nn.plain import PlainTensor
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(8, 12))
+
+    def build():
+        from curl_tpu.nn.module import _init_counter
+
+        curl_tpu.init(world_size=2, seed=9)
+        _init_counter[0] = 0  # identical weights across builds
+        m = nn.Sequential(nn.Linear(12, 16), nn.GELU(), nn.Linear(16, 4))
+        return m
+
+    m = build()
+    plain = np.asarray(m(PlainTensor(x)).get_plain_text())
+
+    m.encrypt(src=0, seed_compress=True)
+    apply_fn, params = m.functional()
+    # every param leaf is compressed: exactly 2 leaves per tensor, none
+    # carrying a party axis
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.shape[:1] != (2,) or leaf.ndim == 1
+    xe = curl_tpu.cryptensor(x)
+    step = curl_tpu.compile_parties(apply_fn, world_size=2)
+    out = step(jax.random.PRNGKey(2), params, xe.mpc)
+    got = np.asarray(curl_tpu.CrypTensor(out).get_plain_text())
+    assert np.abs(got - plain).max() < 0.05
+
+    m2 = build()
+    m2.encrypt(src=0)  # materialized path, same weights (same init keys)
+    apply_fn2, params2 = m2.functional()
+    step2 = curl_tpu.compile_parties(apply_fn2, world_size=2)
+    out2 = step2(jax.random.PRNGKey(2), params2, curl_tpu.cryptensor(x).mpc)
+    got2 = np.asarray(curl_tpu.CrypTensor(out2).get_plain_text())
+    assert np.abs(got - got2).max() < 0.05
+
+
+def test_compressed_gpt_scan_blocks():
+    """Compressed params flow through scan_identical_blocks + scan_chunked
+    (the GPT execution path): tiny full GPT forward decodes within the
+    envelope of the plain forward."""
+    from curl_tpu import models
+    from curl_tpu.nn.plain import PlainTensor
+    from curl_tpu import cfg
+
+    with cfg.temp_override({"models.head_chunk_positions": 4}):
+        curl_tpu.init(world_size=2, seed=77)
+        m = models.GPT(embed_dim=16, num_heads=2, num_blocks=2,
+                       vocab_size=50, seq_len=8, full=True)
+        x = np.arange(8, dtype=np.float64).reshape(1, 8) % 50
+        plain = np.asarray(m(PlainTensor(x)).get_plain_text())
+        m.encrypt(src=0, seed_compress=True)
+        apply_fn, params = m.functional()
+        xe = curl_tpu.cryptensor(x, precision=0)
+        step = curl_tpu.compile_parties(apply_fn, world_size=2)
+        out = step(jax.random.PRNGKey(5), params, xe.mpc)
+        got = np.asarray(curl_tpu.CrypTensor(out).get_plain_text())
+    assert got.shape == plain.shape == (1, 8, 50)
+    assert np.abs(got - plain).max() < 0.08
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=0.08)
