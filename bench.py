@@ -207,15 +207,22 @@ def _run(seq):
     curl_tpu.init(world_size=2, seed=11)
 
     model_cls = getattr(models, MODEL)
-    model = model_cls(seq_len=seq, full=FULL)
     if "BENCH_COMPRESS" in os.environ:
         compress = os.environ["BENCH_COMPRESS"] == "1"
     else:
         # GPT-Neo-scale weights cannot materialize both parties' shares in
         # one chip's HBM (1.3B x 8B x 2 = 21 GB > 16 GB); seed-compressed
-        # shares halve at-rest share memory (mpc/primitives/compressed.py)
+        # shares + streaming construction + vocab-chunked head fit it
+        # (models/gpt.py build_compressed)
         compress = MODEL in ("GPTNeo", "GPTNeoLarge")
-    model.encrypt(src=0, seed_compress=compress)
+    if compress and FULL and hasattr(model_cls, "GEOM"):
+        model = models.GPT.build_compressed(
+            **model_cls.GEOM, seq_len=seq,
+            head_vocab_chunks=int(os.environ.get("BENCH_VOCAB_CHUNKS", "8")),
+        )
+    else:
+        model = model_cls(seq_len=seq, full=FULL)
+        model.encrypt(src=0, seed_compress=compress)
     apply_fn, params = model.functional()
 
     rng = np.random.default_rng(0)

@@ -14,6 +14,86 @@ import jax.numpy as jnp
 from .. import nn
 
 
+class ChunkedLMHead(nn.Module):
+    """LM-head Linear over a vocab-sliced seed-compressed weight.
+
+    The (V, d) weight is padded to a chunk multiple, split into
+    ``n_chunks`` row slices, each slice seed-compressed with its own key,
+    and the slices stacked into one (n, V/n, d) share0 buffer via donated
+    writes (same streaming pattern as PrestackedBlocks). forward() scans
+    the slices — per-iteration live set (expanded weight slice + its
+    Beaver-triple masks) is 1/n of the full head's, which is what keeps
+    the GPT-Neo head inside HBM. Logits concatenate chunk-major and the
+    vocab padding is sliced off before the softmax.
+    """
+
+    def __init__(self, weight, bias, n_chunks, write_fn):
+        super().__init__()
+        import jax
+
+        from ..mpc.mpc import MPCTensor
+        from ..mpc.primitives.compressed import SeedCompressedArithmetic
+        from ..nn.module import _init_key
+
+        V, d = weight.shape
+        self.vocab = V
+        self.n_chunks = n_chunks
+        vc = -(-V // n_chunks)  # ceil
+        self.v_pad = vc * n_chunks
+        master = jax.random.fold_in(_init_key(), 0x10EAD)
+
+        stacked = None
+        treedef = None
+        for i in range(n_chunks):
+            lo = i * vc
+            n_real = max(0, min(vc, V - lo))
+            rows = weight[lo:lo + n_real]
+            if n_real < vc:  # zero-pad the tail chunk
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((vc - n_real, d), weight.dtype)], 0
+                )
+            t = SeedCompressedArithmetic.encrypt(
+                rows, jax.random.fold_in(master, i)
+            )
+            leaves, treedef = jax.tree_util.tree_flatten(MPCTensor(t))
+            if stacked is None:
+                stacked = [
+                    jnp.zeros((n_chunks,) + l.shape, l.dtype) for l in leaves
+                ]
+            stacked = [write_fn(s, l, i) for s, l in zip(stacked, leaves)]
+            del rows, t, leaves
+        self._parameters["wchunks"] = jax.tree_util.tree_unflatten(
+            treedef, stacked
+        )
+        if bias is not None:
+            self.register_parameter("bias", bias)
+
+    def forward(self, x):
+        from jax import lax
+
+        from .. import random as _rng
+
+        w = self._parameters["wchunks"]
+
+        def body(carry, inp):
+            w_i, idx = inp
+            with _rng.fork(idx + (11 << 20)):
+                logits_i = x.matmul(w_i.t())
+            return carry, logits_i
+
+        _, pieces = lax.scan(
+            body, 0, (w, jnp.arange(self.n_chunks))
+        )
+        # (n, rows, vc) -> (rows, n * vc) chunk-major, then drop pad lanes
+        n, r, vc = pieces.shape
+        out = pieces.transpose(1, 0).reshape(r, n * vc)
+        if self.v_pad != self.vocab:
+            out = out[:, : self.vocab]
+        if "bias" in self._parameters:
+            out = out + self._parameters["bias"]
+        return out
+
+
 class GPT(nn.Module):
     class Block(nn.Module):
         def __init__(self, embed_dim, num_heads, causal=False):
@@ -108,6 +188,77 @@ class GPT(nn.Module):
             ).reshape(b, t, self.vocab_size)
         return x
 
+    # -- GPT-Neo-scale streaming construction ----------------------------
+    @classmethod
+    def build_compressed(cls, embed_dim, num_heads, num_blocks, vocab_size,
+                         seq_len, causal=False, head_vocab_chunks=8):
+        """Build an encrypted GPT whose parameters never all materialize.
+
+        The enabler for GPT-Neo (1.3B) on one 16 GB chip: materialized 2PC
+        shares need 21 GB. Three memory levers compose:
+          1. seed-compressed shares (mpc/primitives/compressed.py): only
+             share0 = w - PRG(key) is resident — 10.5 GB, not 21;
+          2. streaming block construction: each block is initialized,
+             compressed, written into ONE pre-allocated stacked buffer
+             with a donated in-place update, then freed — peak stays one
+             block above the final footprint (nn.module.PrestackedBlocks;
+             the in-graph jnp.stack of scan_identical_blocks would cost a
+             second full copy);
+          3. vocab-chunked LM head (ChunkedLMHead): the (d, 50257) weight
+             expands per vocab slice under a scan, capping the
+             weight-sized Beaver-triple transients at 1/chunks.
+        """
+        import jax
+        from functools import partial
+
+        model = cls(embed_dim, num_heads, 0, vocab_size, seq_len,
+                    full=True, causal=causal)
+        model.num_blocks = num_blocks
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _write(buf, leaf, i):
+            return buf.at[i].set(leaf)
+
+        stacked = None
+        treedef = None
+        template = None
+        for b in range(num_blocks):
+            blk = cls.Block(embed_dim, num_heads, causal=causal)
+            blk.encrypt(src=0, seed_compress=True)
+            tree = blk.params_pytree()
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            if stacked is None:
+                stacked = [
+                    jnp.zeros((num_blocks,) + l.shape, l.dtype) for l in leaves
+                ]
+            stacked = [
+                _write(s, l, b) for s, l in zip(stacked, leaves)
+            ]
+            if b == num_blocks - 1:
+                template = blk
+                # the template's own (compressed) params duplicate stack
+                # row b — drop them; bind_params installs fresh values
+                # before every forward
+                for m in template.modules():
+                    for name in list(m._parameters):
+                        m._parameters[name] = None
+            del tree, leaves
+        stacked_tree = jax.tree_util.tree_unflatten(treedef, stacked)
+        model.blocks = nn.module.PrestackedBlocks(
+            template, stacked_tree, num_blocks
+        )
+
+        # LM head: vocab-sliced compressed weight + one scan (fc replaced
+        # BEFORE the compress walk so its full weight never compresses)
+        fcw = model.fc._parameters["weight"]          # (V, d) plain
+        fcb = model.fc._parameters.get("bias")
+        model.fc = ChunkedLMHead(fcw, fcb, head_vocab_chunks, _write)
+        del fcw
+
+        # everything else (embedding table, pos, LN) compresses in place
+        model.encrypt(src=0, seed_compress=True)
+        return model
+
     # -- HF weight mapping ----------------------------------------------
     def load_hf_state_dict(self, sd):
         """Map a HuggingFace ``GPT2LMHeadModel`` (or bare ``GPT2Model``)
@@ -155,6 +306,8 @@ class GPT(nn.Module):
 
 
 class GPT2(GPT):
+    GEOM = dict(embed_dim=768, num_heads=12, num_blocks=12, vocab_size=50257)
+
     def __init__(self, seq_len, full=True, causal=False):
         super().__init__(embed_dim=768, num_heads=12, num_blocks=12,
                          vocab_size=50257, seq_len=seq_len, full=full,
@@ -162,6 +315,8 @@ class GPT2(GPT):
 
 
 class GPTNeo(GPT):
+    GEOM = dict(embed_dim=2048, num_heads=16, num_blocks=24, vocab_size=50257)
+
     def __init__(self, seq_len, full=True, causal=False):
         super().__init__(embed_dim=2048, num_heads=16, num_blocks=24,
                          vocab_size=50257, seq_len=seq_len, full=full,
@@ -169,6 +324,8 @@ class GPTNeo(GPT):
 
 
 class GPTNeoLarge(GPT):
+    GEOM = dict(embed_dim=2560, num_heads=20, num_blocks=32, vocab_size=50257)
+
     def __init__(self, seq_len, full=True, causal=False):
         super().__init__(embed_dim=2560, num_heads=20, num_blocks=32,
                          vocab_size=50257, seq_len=seq_len, full=full,

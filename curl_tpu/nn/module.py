@@ -139,7 +139,9 @@ class Module:
         n_drawn = 0
         for m in self.modules():
             for name, p in list(m._parameters.items()):
-                if curl_tpu.is_encrypted_tensor(p):
+                # skip already-encrypted leaves and pre-stacked compressed
+                # pytrees (PrestackedBlocks / ChunkedLMHead build their own)
+                if curl_tpu.is_encrypted_tensor(p) or not hasattr(p, "dtype"):
                     continue
                 key = jax.random.fold_in(master, n_drawn)
                 n_drawn += 1
@@ -292,6 +294,24 @@ def scan_identical_blocks(blocks, x):
     from .. import random as _rng
     from ..mpc.mpc import MPCTensor
 
+    if isinstance(blocks, PrestackedBlocks):
+        # params were stacked at BUILD time (streaming construction for
+        # models whose per-block stack cannot afford a second in-graph
+        # copy — see models/gpt.py build_compressed); scan them directly
+        template = blocks.template
+        stacked = blocks._parameters["stacked"]
+        n = blocks.n
+
+        def body(carry, inp):
+            params_i, idx = inp
+            with _rng.fork(idx):
+                template.bind_params(params_i)
+                out = template.forward(carry)
+            return out, None
+
+        out, _ = _lax.scan(body, x, (stacked, jnp.arange(n)))
+        return out
+
     block_list = list(blocks)
     n = len(block_list)
     if n == 1 or not isinstance(x, MPCTensor):
@@ -314,6 +334,40 @@ def scan_identical_blocks(blocks, x):
     # restore template's own parameters
     template.bind_params(trees[0])
     return out
+
+
+class PrestackedBlocks(Module):
+    """N structurally-identical blocks whose per-block parameters were
+    stacked along a leading axis at BUILD time.
+
+    scan_identical_blocks normally stacks block params in-graph
+    (jnp.stack at trace time) — fine at GPT-2 scale, but at GPT-Neo scale
+    the stack is a ~10 GB concatenate whose inputs are live program
+    parameters, doubling HBM right when it cannot be afforded. Streaming
+    construction (models/gpt.py build_compressed) writes each block's
+    (seed-compressed) params into ONE pre-allocated stacked buffer with a
+    donated update, so peak memory stays one-block-sized above the final
+    footprint, and the scan consumes the stack directly.
+
+    ``template`` is intentionally NOT a registered submodule: its
+    parameters are rebound every scan iteration and must not appear in
+    params_pytree() as a second (stale) copy.
+    """
+
+    def __init__(self, template, stacked_tree, n):
+        super().__init__()
+        object.__setattr__(self, "template", template)
+        self._parameters["stacked"] = stacked_tree
+        self.n = n
+
+    def forward(self, x):
+        return scan_identical_blocks(self, x)
+
+    def __iter__(self):
+        raise TypeError(
+            "PrestackedBlocks holds fused per-block parameters; iterate "
+            "is only meaningful on materialized Sequential blocks"
+        )
 
 
 def scan_chunked(fn, x, chunk, salt=9 << 20):

@@ -114,3 +114,40 @@ def test_compressed_gpt_scan_blocks():
     assert got.shape == plain.shape == (1, 8, 50)
     assert np.abs(got - plain).max() < 0.08
     np.testing.assert_allclose(got.sum(-1), 1.0, atol=0.08)
+
+
+def test_build_compressed_gpt_matches_plain():
+    """Streaming construction (GPT.build_compressed): prestacked compressed
+    blocks + vocab-chunked LM head decode within envelope of a plain
+    forward of a REGULAR model with identical weights (same init-key
+    stream), exercising the exact GPT-Neo execution path at tiny scale."""
+    from curl_tpu import cfg, models
+    from curl_tpu.nn.module import _init_counter
+    from curl_tpu.nn.plain import PlainTensor
+
+    geom = dict(embed_dim=16, num_heads=2, num_blocks=3,
+                vocab_size=50, seq_len=8)
+    x = np.arange(8, dtype=np.float64).reshape(1, 8) % 50
+
+    curl_tpu.init(world_size=2, seed=21)
+    _init_counter[0] = 0
+    plain_model = models.GPT(**geom, full=True)
+    plain = np.asarray(plain_model(PlainTensor(x)).get_plain_text())
+
+    with cfg.temp_override({"models.head_chunk_positions": 4}):
+        curl_tpu.init(world_size=2, seed=21)
+        _init_counter[0] = 0
+        m = models.GPT.build_compressed(**geom, head_vocab_chunks=4)
+        apply_fn, params = m.functional()
+        # no leaf carries a party axis and block leaves are (num_blocks, ...)
+        stacked = m.blocks._parameters["stacked"]
+        for leaf in jax.tree_util.tree_leaves(stacked):
+            assert leaf.shape[0] == geom["num_blocks"]
+        xe = curl_tpu.cryptensor(x, precision=0)
+        step = curl_tpu.compile_parties(apply_fn, world_size=2)
+        out = step(jax.random.PRNGKey(5), params, xe.mpc)
+        got = np.asarray(curl_tpu.CrypTensor(out).get_plain_text())
+
+    assert got.shape == plain.shape == (1, 8, 50)
+    assert np.abs(got - plain).max() < 0.08
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=0.08)
