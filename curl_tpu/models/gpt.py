@@ -180,6 +180,13 @@ class GPT(nn.Module):
         if self.full:
             b, t, d = x.shape
 
+            if chunk > 0 and b * t > chunk and (b * t) % chunk == 0:
+                # the head scan reuses the SAME fc weight across b*t/chunk
+                # iterations: pre-mask it once (beaver.mask_operand) so each
+                # chunk draws only input-sized Beaver randomness instead of a
+                # fresh (d, V)-sized mask + (d, V)-sized delta reveal
+                self._premask_linear(self.fc)
+
             def head(rows):
                 return self.softmax(self.fc(self.ln(rows)))
 
@@ -187,6 +194,24 @@ class GPT(nn.Module):
                 head, x.reshape(b * t, d), chunk, salt=10 << 20
             ).reshape(b, t, self.vocab_size)
         return x
+
+    @staticmethod
+    def _premask_linear(lin):
+        """Replace a Linear's encrypted weight with its Beaver-masked form
+        (no-op for plain, compressed, or already-masked weights, and under
+        provider/cache configs where mask_operand declines)."""
+        from ..mpc.mpc import MPCTensor
+        from ..mpc.primitives import beaver
+        from ..mpc.primitives.arithmetic import ArithmeticSharedTensor
+
+        w = lin._parameters.get("weight") if hasattr(lin, "_parameters") else None
+        if not isinstance(w, MPCTensor):
+            return
+        if type(w._tensor) is not ArithmeticSharedTensor:
+            return  # compressed / masked / binary: leave as-is
+        masked = beaver.mask_operand(w._tensor)
+        if masked is not w._tensor:
+            lin._parameters["weight"] = MPCTensor(masked)
 
     # -- GPT-Neo-scale streaming construction ----------------------------
     @classmethod

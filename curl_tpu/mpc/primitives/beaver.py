@@ -98,27 +98,150 @@ _RING_OPS = {
 }
 
 
+@jax.tree_util.register_pytree_node_class
+class MaskedArithmetic(ArithmeticSharedTensor):
+    """A secret operand pre-masked for Beaver-triple reuse.
+
+    When the SAME secret tensor y multiplies many different x's (the LM-head
+    weight across position chunks at batch >= 2, a decode loop's weights),
+    the standard protocol wastes a y-sized mask draw, its PRZS sharing, and
+    a y-sized reveal PER PRODUCT. Masking once — draw b, reveal
+    delta = y - b — is simulatable exactly like a single Beaver product
+    (delta is one-time-padded by b; each later product only reveals a fresh
+    eps_i = x_i - a_i), the classic reusable-mask optimization of
+    SecureML/DELPHI-style inference. Each product then needs only the fresh
+    input-sized a_i and the dealer product c_i = a_i (op) b.
+
+    ``b_plain`` is the dealer's lane-local draw (TFP semantics: only rank
+    0's draw enters any share sum, exactly like tfp_provider sampling).
+    ``share`` reconstructs a valid ordinary share of y (b_p + rank0*delta),
+    so every non-product op falls back transparently.
+    """
+
+    __slots__ = ("b_plain", "b_share", "delta")
+
+    def __init__(self, b_plain, b_share, delta, encoder):
+        self.b_plain = b_plain
+        self.b_share = b_share
+        self.delta = delta
+        self.encoder = encoder
+
+    def tree_flatten(self):
+        return (self.b_plain, self.b_share, self.delta), (
+            self.encoder.precision_bits,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, FixedPointEncoder(aux[0]))
+
+    @property
+    def share(self):
+        return self.b_share + _rank0(self.delta)
+
+    @property
+    def shape(self):
+        return self.b_share.shape
+
+    @property
+    def ndim(self):
+        return self.b_share.ndim
+
+    def t(self):
+        return MaskedArithmetic(
+            self.b_plain.T, self.b_share.T, self.delta.T, self.encoder
+        )
+
+    def transpose(self, d0, d1):
+        sw = lambda v: jnp.swapaxes(v, d0, d1)  # noqa: E731
+        return MaskedArithmetic(
+            sw(self.b_plain), sw(self.b_share), sw(self.delta), self.encoder
+        )
+
+    def with_share(self, share) -> ArithmeticSharedTensor:
+        return ArithmeticSharedTensor(share, self.encoder)
+
+
+def mask_operand(y: ArithmeticSharedTensor):
+    """Pre-mask ``y`` for product reuse, or return it unchanged when the
+    reuse pattern does not apply: non-TFP providers (their dealer semantics
+    differ), active security (the sacrifice check needs full triples), and
+    the tuple-cache flows (the positional offline stream has no mask
+    identity — and the gate must agree between the cache RECORDING trace
+    and the SERVING trace, so it keys on the cache session, not on runtime
+    kernel state)."""
+    provider = _provider()
+    if (
+        getattr(provider, "NAME", None) != "TFP"
+        or provider.tracing
+        or provider._serving_cache is not None
+        or cfg.mpc.active_security
+    ):
+        return y
+    b = rng.random_ring(y.shape, "local")
+    b_share = rng.przs_arithmetic(y.shape)
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        b_share = b_share + mask * b
+    else:
+        b_share = b_share + b
+    delta = comm.all_sum(y.share - b_share)
+    return MaskedArithmetic(b, b_share, delta, y.encoder)
+
+
+def _masked_protocol(op, x, y: MaskedArithmetic, **kwargs):
+    """One product against a pre-masked operand: fresh input-sized a only."""
+    ring_op = _RING_OPS[op]
+    a = rng.random_ring(x.shape, "local")
+    c = ring_op(a, y.b_plain, **kwargs)  # dealer product (lane-local draw)
+    a_share = rng.przs_arithmetic(x.shape)
+    c_share = rng.przs_arithmetic(np.shape(c))
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        a_share = a_share + mask * a
+        c_share = c_share + mask * c
+    else:
+        a_share = a_share + a
+        c_share = c_share + c
+    epsilon = comm.all_sum(x.share - a_share)
+    z = c_share + ring_op(epsilon, y.b_share, **kwargs)
+    z = z + ring_op(x.share, y.delta, **kwargs)
+    return ArithmeticSharedTensor(z, x.encoder)
+
+
 def mul(x, y):
+    if isinstance(y, MaskedArithmetic):
+        return _masked_protocol("mul", x, y)
     return _beaver_protocol("mul", x, y)
 
 
 def matmul(x, y):
+    if isinstance(y, MaskedArithmetic):
+        return _masked_protocol("matmul", x, y)
     return _beaver_protocol("matmul", x, y)
 
 
 def conv1d(x, y, **kwargs):
+    if isinstance(y, MaskedArithmetic):
+        return _masked_protocol("conv1d", x, y, **kwargs)
     return _beaver_protocol("conv1d", x, y, **kwargs)
 
 
 def conv2d(x, y, **kwargs):
+    if isinstance(y, MaskedArithmetic):
+        return _masked_protocol("conv2d", x, y, **kwargs)
     return _beaver_protocol("conv2d", x, y, **kwargs)
 
 
 def conv_transpose1d(x, y, **kwargs):
+    if isinstance(y, MaskedArithmetic):
+        return _masked_protocol("conv_transpose1d", x, y, **kwargs)
     return _beaver_protocol("conv_transpose1d", x, y, **kwargs)
 
 
 def conv_transpose2d(x, y, **kwargs):
+    if isinstance(y, MaskedArithmetic):
+        return _masked_protocol("conv_transpose2d", x, y, **kwargs)
     return _beaver_protocol("conv_transpose2d", x, y, **kwargs)
 
 

@@ -1,0 +1,110 @@
+"""Beaver masked-operand reuse (beaver.mask_operand / MaskedArithmetic):
+mask a reused secret operand once, pay only input-sized randomness and an
+eps reveal per product."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import curl_tpu
+from curl_tpu import cfg
+
+
+@pytest.fixture(autouse=True)
+def _init():
+    curl_tpu.init(world_size=2, seed=13)
+
+
+def test_masked_matmul_decodes_and_reuses():
+    from curl_tpu.mpc.primitives import beaver
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(6, 5))
+    xs = [rng.normal(size=(4, 6)) for _ in range(3)]
+
+    def fn(wm, *xms):
+        masked = beaver.mask_operand(wm._tensor)
+        assert type(masked).__name__ == "MaskedArithmetic"
+        return [xm._wrap(beaver.matmul(xm._tensor, masked)) for xm in xms]
+
+    we = curl_tpu.cryptensor(w)
+    xes = [curl_tpu.cryptensor(x) for x in xs]
+    outs = curl_tpu._eager_run(fn, we, *xes)
+    for out, x in zip(outs, xs):
+        got = np.asarray(out.get_plain_text())
+        # product of two scale-2^16 encodings, no rescale applied at the
+        # protocol layer: exact up to the inputs' own encoding quantization
+        np.testing.assert_allclose(got, (x @ w) * (1 << 16), rtol=1e-4,
+                                   atol=1.0)
+
+
+def test_masked_share_fallback_roundtrip():
+    """MaskedArithmetic.share reconstructs a valid ordinary share, so
+    non-product ops (reveal, add) work transparently."""
+    from curl_tpu.mpc.primitives import beaver
+
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(8,))
+
+    def fn(wm):
+        masked = beaver.mask_operand(wm._tensor)
+        return wm._wrap(masked.with_share(masked.share + masked.share))
+
+    we = curl_tpu.cryptensor(w)
+    out = curl_tpu._eager_run(fn, we)
+    np.testing.assert_allclose(
+        np.asarray(out.get_plain_text()), 2 * w, atol=1e-3
+    )
+
+
+def test_mask_declines_under_cache_flows():
+    """The gate must agree between cache recording and serving traces."""
+    from curl_tpu.encoder import FixedPointEncoder
+    from curl_tpu.mpc import get_default_provider
+    from curl_tpu.mpc.primitives import beaver
+    from curl_tpu.mpc.primitives.arithmetic import ArithmeticSharedTensor
+    from curl_tpu.mpc.provider.provider import TupleCache
+
+    provider = get_default_provider()
+
+    def declined():
+        x = ArithmeticSharedTensor(
+            jnp.zeros((3,), jnp.uint64), FixedPointEncoder(0)
+        )
+        return beaver.mask_operand(x) is x
+
+    provider.trace(True)
+    try:
+        assert declined()  # recording trace
+    finally:
+        provider.trace(False)
+    provider.attach_serving_cache(TupleCache([]))
+    try:
+        assert declined()  # serving trace
+    finally:
+        provider.attach_serving_cache(None)
+
+
+def test_gpt_batched_head_premask_parity():
+    """Batch-2 GPT head chunking (which triggers the premask) decodes
+    within envelope of the plain forward."""
+    from curl_tpu import models
+    from curl_tpu.nn.plain import PlainTensor
+
+    with cfg.temp_override({"models.head_chunk_positions": 8,
+                            "functions.max_method": "scan_reduction"}):
+        curl_tpu.init(world_size=2, seed=31)
+        m = models.GPT(embed_dim=16, num_heads=2, num_blocks=1,
+                       vocab_size=40, seq_len=8, full=True)
+        x = (np.arange(16, dtype=np.float64).reshape(2, 8) * 3) % 40
+        plain = np.asarray(m(PlainTensor(x)).get_plain_text())
+        m.encrypt(src=0)
+        apply_fn, params = m.functional()
+        xe = curl_tpu.cryptensor(x, precision=0)
+        step = curl_tpu.compile_parties(apply_fn, world_size=2)
+        out = step(jax.random.PRNGKey(5), params, xe.mpc)
+        got = np.asarray(curl_tpu.CrypTensor(out).get_plain_text())
+    assert got.shape == plain.shape == (2, 8, 40)
+    assert np.abs(got - plain).max() < 0.08
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=0.08)
