@@ -94,6 +94,70 @@ class ChunkedLMHead(nn.Module):
         return out
 
 
+class ChunkedEmbedding(nn.Module):
+    """Embedding over a vocab-sliced seed-compressed table (the embedding
+    counterpart of ChunkedLMHead — see beaver.evaluate_embed_chunked for
+    why the unsliced lookup cannot fit GPT-Neo in HBM). Chunk slicing,
+    compression, and stacked storage mirror ChunkedLMHead exactly."""
+
+    def __init__(self, weight, n_chunks, write_fn):
+        super().__init__()
+        import jax
+
+        from ..mpc.mpc import MPCTensor
+        from ..mpc.primitives.compressed import SeedCompressedArithmetic
+        from ..nn.module import _init_key
+
+        V, d = weight.shape
+        self.vocab = V
+        self.embed_dim = d
+        self.n_chunks = n_chunks
+        vc = -(-V // n_chunks)
+        self.v_pad = vc * n_chunks
+        master = jax.random.fold_in(_init_key(), 0xE4BED)
+
+        stacked = None
+        treedef = None
+        for i in range(n_chunks):
+            lo = i * vc
+            n_real = max(0, min(vc, V - lo))
+            rows = weight[lo:lo + n_real]
+            if n_real < vc:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((vc - n_real, d), weight.dtype)], 0
+                )
+            t = SeedCompressedArithmetic.encrypt(
+                rows, jax.random.fold_in(master, i)
+            )
+            self._encoder_bits = t.encoder.precision_bits
+            leaves, treedef = jax.tree_util.tree_flatten(MPCTensor(t))
+            if stacked is None:
+                stacked = [
+                    jnp.zeros((n_chunks,) + l.shape, l.dtype) for l in leaves
+                ]
+            stacked = [write_fn(s, l, i) for s, l in zip(stacked, leaves)]
+            del rows, t, leaves
+        self._parameters["tchunks"] = jax.tree_util.tree_unflatten(
+            treedef, stacked
+        )
+
+    def forward(self, x):
+        from ..encoder import FixedPointEncoder
+        from ..mpc.mpc import MPCTensor
+        from ..mpc.primitives import beaver
+        from ..mpc.primitives.arithmetic import ArithmeticSharedTensor
+
+        out = beaver.evaluate_embed_chunked(
+            x._tensor, self._parameters["tchunks"], self.vocab,
+            self.embed_dim,
+        )
+        return MPCTensor(
+            ArithmeticSharedTensor(
+                out.share, FixedPointEncoder(self._encoder_bits)
+            )
+        )
+
+
 class GPT(nn.Module):
     class Block(nn.Module):
         def __init__(self, embed_dim, num_heads, causal=False):
@@ -168,6 +232,9 @@ class GPT(nn.Module):
         if self.full:
             if x.dim() == 2:
                 b, t = x.shape
+                if chunk > 0 and b * t > chunk and (b * t) % chunk == 0:
+                    # embedding table reused across the chunk scan: mask once
+                    self._premask_linear(self.tok_embed)
                 tok = nn.module.scan_chunked(
                     self.tok_embed, x.reshape(b * t), chunk, salt=9 << 20
                 ).reshape(b, t, self.embed_dim)
@@ -280,7 +347,13 @@ class GPT(nn.Module):
         model.fc = ChunkedLMHead(fcw, fcb, head_vocab_chunks, _write)
         del fcw
 
-        # everything else (embedding table, pos, LN) compresses in place
+        # embedding: same vocab slicing — the unsliced lookup's table-sized
+        # Beaver masks are the other HBM overflow (evaluate_embed_chunked)
+        tew = model.tok_embed._parameters["weight"]   # (V, d) plain
+        model.tok_embed = ChunkedEmbedding(tew, head_vocab_chunks, _write)
+        del tew
+
+        # everything else (pos, LN) compresses in place
         model.encrypt(src=0, seed_compress=True)
         return model
 

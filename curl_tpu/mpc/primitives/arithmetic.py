@@ -372,7 +372,10 @@ class ArithmeticSharedTensor:
 
     def evaluate_embed(self, embed: "ArithmeticSharedTensor"):
         protocol = _get_protocol()
-        out = protocol.evaluate_embed(self, embed.share)
+        # pass the tensor, not the raw share: a Beaver-masked table
+        # (beaver.MaskedArithmetic) keeps its reusable mask through the
+        # lookup's private-x-private matmul
+        out = protocol.evaluate_embed(self, embed)
         return ArithmeticSharedTensor(out.share, embed.encoder)
 
     # -- scale management --------------------------------------------------

@@ -524,18 +524,28 @@ def evaluate_bior_lut(x, luts, scale, bias: int):
     return ArithmeticSharedTensor(out.share.reshape(shape), x.encoder)
 
 
-def evaluate_embed(x, embed_share):
+def evaluate_embed(x, embed):
     """Private embedding lookup: rotated one-hot (secret-shared) matmul with
     the shared embedding matrix (beaver.py:297-333).
 
     Unlike evaluate_lut, the table itself is secret-shared here, so the
     gather-the-public-table trick does not apply; instead the (N, V) one-hot
     share is gathered at rotated indices and fed to the ring matmul
-    (one int8-limb MXU pass).
+    (one int8-limb MXU pass). ``embed`` may be an ArithmeticSharedTensor, a
+    raw share array, or a Beaver-masked table (MaskedArithmetic) — the
+    masked form reuses its (V, d)-sized mask across every lookup in a
+    chunk/decode scan.
     """
-    embed_share = ring.to_ring(embed_share)
-    size = embed_share.shape[0]
-    shape = x.shape + (embed_share.shape[1],)
+    if isinstance(embed, MaskedArithmetic):
+        embed_t = embed
+        size = embed.b_share.shape[0]
+        dim = embed.b_share.shape[1]
+    else:
+        share = embed.share if hasattr(embed, "share") else embed
+        share = ring.to_ring(share)
+        embed_t = ArithmeticSharedTensor(share, FixedPointEncoder(0))
+        size, dim = share.shape
+    shape = x.shape + (dim,)
     x_flat = x.with_share(x.share.reshape(-1))
     one_hot_r, shift = _lut_open_shift(x_flat, size)
 
@@ -548,9 +558,70 @@ def evaluate_embed(x, embed_share):
     from .arithmetic import _get_protocol
 
     rotated_t = ArithmeticSharedTensor(rotated, FixedPointEncoder(0))
-    embed_t = ArithmeticSharedTensor(embed_share, FixedPointEncoder(0))
-    lookup = _get_protocol().matmul(rotated_t, embed_t)
+    if isinstance(embed_t, MaskedArithmetic):
+        lookup = _masked_protocol("matmul", rotated_t, embed_t)
+    else:
+        # protocol-dispatched (replicated.py re-exports this function; its
+        # RSS runtime must keep using its own matmul)
+        lookup = _get_protocol().matmul(rotated_t, embed_t)
     return ArithmeticSharedTensor(lookup.share.reshape(shape), FixedPointEncoder(0))
+
+
+def evaluate_embed_chunked(x, table_chunks, v_real: int, dim: int,
+                           salt: int = 12 << 20):
+    """Private embedding lookup against a VOCAB-SLICED secret table.
+
+    The standard evaluate_embed materializes table-sized Beaver masks for
+    the one-hot matmul — at GPT-Neo scale that is several (50257, 2048)
+    uint64 temporaries per lane, which alone overflows HBM. Algebraically
+    the lookup factorizes over vocab slices:
+
+        onehot @ T = sum_i onehot[:, i*Vc:(i+1)*Vc] @ T_i
+
+    so the rotated one-hot (cheap, (N, V_pad)) is built ONCE and the
+    chunk products run under one lax.scan — per-iteration live set is
+    chunk-sized. ``table_chunks`` is a list-like of n ArithmeticSharedTensor
+    (or seed-compressed) chunks of shape (Vc, dim), stacked as a pytree
+    with leading axis n (the PrestackedBlocks pattern); vocab padding rows
+    must be zero so pad lanes contribute nothing.
+    """
+    from jax import lax
+
+    from ... import random as rng_mod
+
+    n_chunks = jax.tree_util.tree_leaves(table_chunks)[0].shape[0]
+    vc = None
+    shape = x.shape + (dim,)
+    x_flat = x.with_share(x.share.reshape(-1))
+    N = x_flat.shape[0]
+    v_pad = None
+
+    # chunk geometry from the stacked tree: leaf (n, Vc, dim)
+    for leaf in jax.tree_util.tree_leaves(table_chunks):
+        if leaf.ndim >= 3 and leaf.shape[-1] == dim:
+            vc = leaf.shape[-2]
+            break
+    assert vc is not None, "table_chunks carries no (n, Vc, dim) leaf"
+    v_pad = n_chunks * vc
+    assert v_real <= v_pad, (v_real, v_pad)
+
+    one_hot_r, shift = _lut_open_shift(x_flat, v_pad)
+    j = jnp.arange(v_pad, dtype=jnp.int32)[None, :]
+    idx = jnp.mod(j - shift[:, None], v_pad)
+    rotated = jnp.take_along_axis(one_hot_r.share, idx, axis=1)
+
+    def body(carry, inp):
+        w_i, i = inp
+        with rng_mod.fork(i + salt):
+            sl = lax.dynamic_slice_in_dim(rotated, i * vc, vc, 1)
+            sl_t = ArithmeticSharedTensor(sl, FixedPointEncoder(0))
+            t_i = w_i._tensor if hasattr(w_i, "_tensor") else w_i
+            part = matmul(sl_t, t_i)
+        return carry + part.share, None
+
+    init = jnp.zeros((N, dim), jnp.uint64)
+    acc, _ = lax.scan(body, init, (table_chunks, jnp.arange(n_chunks)))
+    return ArithmeticSharedTensor(acc.reshape(shape), FixedPointEncoder(0))
 
 
 # ---------------------------------------------------------------------------

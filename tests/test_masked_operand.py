@@ -108,3 +108,27 @@ def test_gpt_batched_head_premask_parity():
     assert got.shape == plain.shape == (2, 8, 40)
     assert np.abs(got - plain).max() < 0.08
     np.testing.assert_allclose(got.sum(-1), 1.0, atol=0.08)
+
+
+def test_masked_embedding_lookup_parity():
+    """evaluate_embed against a Beaver-masked table decodes identically to
+    the unmasked protocol path."""
+    from curl_tpu.mpc.primitives import beaver
+
+    rng = np.random.default_rng(4)
+    table = rng.normal(size=(32, 6))
+    ids = np.array([0, 3, 31, 17, 5], dtype=np.float64)
+
+    def fn(masked_mode, wm, xm):
+        t = beaver.mask_operand(wm._tensor) if masked_mode else wm._tensor
+        return xm._wrap(xm._tensor.evaluate_embed(t))
+
+    we = curl_tpu.cryptensor(table)
+    xe = curl_tpu.cryptensor(ids, precision=0)
+    plainout = {}
+    for mode in (False, True):
+        out = curl_tpu._eager_run(lambda w, x: fn(mode, w, x), we, xe)
+        plainout[mode] = np.asarray(out.get_plain_text())
+        np.testing.assert_allclose(
+            plainout[mode], table[ids.astype(int)], atol=2e-4
+        )
