@@ -50,8 +50,13 @@ def run_llm(args):
     full = args.tensor_size is None
     model_cls = getattr(models, args.model)
     seq_len = args.seq_len
-    model = model_cls(seq_len=seq_len, full=full)
-    model.encrypt(src=0)
+    if args.compress and full and hasattr(model_cls, "GEOM"):
+        # seed-compressed shares + streaming construction + vocab-chunked
+        # head/embedding: the GPT-Neo-on-one-chip memory path
+        model = models.GPT.build_compressed(**model_cls.GEOM, seq_len=seq_len)
+    else:
+        model = model_cls(seq_len=seq_len, full=full)
+        model.encrypt(src=0, seed_compress=args.compress)
     apply_fn, params = model.functional()
 
     rng = np.random.default_rng(0)
@@ -109,6 +114,11 @@ def main():
     parser.add_argument("--approximations", action="store_true")
     parser.add_argument("--no_cmp", action="store_true")
     parser.add_argument("--communication", action="store_true")
+    parser.add_argument("--compress", action="store_true",
+                        help="seed-compressed parameter shares (halves "
+                             "at-rest share memory; GPT classes also get "
+                             "streaming construction + vocab-chunked "
+                             "head/embedding)")
     args = parser.parse_args()
     logging.getLogger().setLevel(logging.INFO)
     run_llm(args)
