@@ -283,7 +283,8 @@ class GPT(nn.Module):
     # -- GPT-Neo-scale streaming construction ----------------------------
     @classmethod
     def build_compressed(cls, embed_dim, num_heads, num_blocks, vocab_size,
-                         seq_len, causal=False, head_vocab_chunks=8):
+                         seq_len, causal=False, head_vocab_chunks=8,
+                         chunk_block_linears=None):
         """Build an encrypted GPT whose parameters never all materialize.
 
         The enabler for GPT-Neo (1.3B) on one 16 GB chip: materialized 2PC
@@ -311,11 +312,42 @@ class GPT(nn.Module):
         def _write(buf, leaf, i):
             return buf.at[i].set(leaf)
 
+        if chunk_block_linears is None:
+            # at >= 1024-dim the block FFN/QKV weight-sized Beaver
+            # transients ((d, 4d) per lane) no longer fit next to the
+            # resident share0 stacks — chunk them into (d, d) slices
+            chunk_block_linears = embed_dim >= 1024
+
+        def _chunkify_block(blk):
+            """Replace the block's big Linears with ChunkedLinear at (d, d)
+            slice granularity (out-chunked QKV/FFN-up, in-chunked FFN-down)
+            BEFORE the compress walk, so their full weights never expand."""
+            if not chunk_block_linears:
+                return
+
+            def take(lin):
+                return (lin._parameters["weight"],
+                        lin._parameters.get("bias"))
+
+            w, bias = take(blk.attn.search)
+            blk.attn.search = nn.module.ChunkedLinear(
+                w, bias, 3, 0, _write, salt=13 << 20
+            )
+            w, bias = take(blk.ff._modules["0"])
+            blk.ff._modules["0"] = nn.module.ChunkedLinear(
+                w, bias, 4, 0, _write, salt=14 << 20
+            )
+            w, bias = take(blk.ff._modules["2"])
+            blk.ff._modules["2"] = nn.module.ChunkedLinear(
+                w, bias, 4, 1, _write, salt=15 << 20
+            )
+
         stacked = None
         treedef = None
         template = None
         for b in range(num_blocks):
             blk = cls.Block(embed_dim, num_heads, causal=causal)
+            _chunkify_block(blk)
             blk.encrypt(src=0, seed_compress=True)
             tree = blk.params_pytree()
             leaves, treedef = jax.tree_util.tree_flatten(tree)

@@ -336,6 +336,131 @@ def scan_identical_blocks(blocks, x):
     return out
 
 
+def stack_compressed_chunks(weight, n_chunks, axis, write_fn, master_key):
+    """Slice ``weight`` into n equal chunks along ``axis`` (zero-padded),
+    seed-compress each with its own key, and stack into ONE pre-allocated
+    buffer via donated writes. Returns (stacked_tree, chunk_len, padded_len).
+    The shared storage pattern of ChunkedLinear / ChunkedLMHead /
+    ChunkedEmbedding — peak memory stays one chunk above the final stack."""
+    import jax
+
+    from ..mpc.mpc import MPCTensor
+    from ..mpc.primitives.compressed import SeedCompressedArithmetic
+
+    L = weight.shape[axis]
+    cl = -(-L // n_chunks)
+    stacked = None
+    treedef = None
+    for i in range(n_chunks):
+        lo = i * cl
+        n_real = max(0, min(cl, L - lo))
+        sl = [slice(None)] * weight.ndim
+        sl[axis] = slice(lo, lo + n_real)
+        rows = weight[tuple(sl)]
+        if n_real < cl:
+            pad = [(0, 0)] * weight.ndim
+            pad[axis] = (0, cl - n_real)
+            rows = jnp.pad(rows, pad)
+        t = SeedCompressedArithmetic.encrypt(
+            rows, jax.random.fold_in(master_key, i)
+        )
+        leaves, treedef = jax.tree_util.tree_flatten(MPCTensor(t))
+        if stacked is None:
+            stacked = [
+                jnp.zeros((n_chunks,) + l.shape, l.dtype) for l in leaves
+            ]
+        stacked = [write_fn(s, l, i) for s, l in zip(stacked, leaves)]
+        del rows, t, leaves
+    return jax.tree_util.tree_unflatten(treedef, stacked), cl, cl * n_chunks
+
+
+class ChunkedLinear(Module):
+    """Linear over a chunked seed-compressed weight.
+
+    ``axis=0`` chunks the OUTPUT features (results concatenate); ``axis=1``
+    chunks the INPUT features (partial products accumulate). Either way the
+    per-iteration live set — expanded weight chunk, its Beaver-triple
+    masks, reveal buffers — is 1/n of a full Linear's, which is what keeps
+    GPT-Neo's (2048, 8192) FFN weights inside HBM next to the resident
+    share0 stacks. Built from a PLAIN weight at streaming-construction
+    time (models/gpt.py build_compressed)."""
+
+    def __init__(self, weight, bias, n_chunks, axis, write_fn,
+                 salt=13 << 20):
+        super().__init__()
+        import jax
+
+        out_f, in_f = weight.shape
+        self.out_features = out_f
+        self.in_features = in_f
+        self.n_chunks = n_chunks
+        self.axis = axis
+        self.salt = salt
+        master = jax.random.fold_in(_init_key(), 0xC4C4 + axis)
+        tree, cl, _pad = stack_compressed_chunks(
+            weight, n_chunks, axis, write_fn, master
+        )
+        self.chunk_len = cl
+        self._parameters["wchunks"] = tree
+        if bias is not None:
+            self.register_parameter("bias", bias)
+
+    def forward(self, x):
+        from jax import lax
+
+        from .. import random as _rng
+        from ..mpc.mpc import MPCTensor
+
+        w = self._parameters["wchunks"]
+        lead = x.shape[:-1]
+
+        if self.axis == 0:
+            def body(carry, inp):
+                w_i, i = inp
+                with _rng.fork(i + self.salt):
+                    y_i = x.matmul(w_i.t())
+                return carry, y_i
+
+            _, pieces = lax.scan(body, 0, (w, jnp.arange(self.n_chunks)))
+            # (n, ..., cl) -> (..., n * cl), chunk-major along features
+            share = jnp.moveaxis(pieces._tensor.share, 0, -2)
+            share = share.reshape(lead + (self.n_chunks * self.chunk_len,))
+            if self.n_chunks * self.chunk_len != self.out_features:
+                share = share[..., : self.out_features]
+            out = MPCTensor(
+                pieces._tensor.with_share(share), pieces.ptype
+            )
+        else:
+            cl = self.chunk_len
+            x_sh = x._tensor.share
+            pad = self.n_chunks * cl - self.in_features
+            if pad:
+                x_sh = jnp.pad(
+                    x_sh, [(0, 0)] * (x_sh.ndim - 1) + [(0, pad)]
+                )
+
+            def body(carry, inp):
+                w_i, i = inp
+                with _rng.fork(i + self.salt):
+                    sl = lax.dynamic_slice_in_dim(
+                        x_sh, i * cl, cl, x_sh.ndim - 1
+                    )
+                    x_i = MPCTensor(x._tensor.with_share(sl), x.ptype)
+                    y_i = x_i.matmul(w_i.t())
+                return carry + y_i._tensor.share, None
+
+            init = jnp.zeros(lead + (self.out_features,), jnp.uint64)
+            acc, _ = lax.scan(body, init, (w, jnp.arange(self.n_chunks)))
+            from ..mpc.primitives.arithmetic import ArithmeticSharedTensor
+
+            out = MPCTensor(
+                ArithmeticSharedTensor(acc, x._tensor.encoder)
+            )
+        if "bias" in self._parameters:
+            out = out + self._parameters["bias"]
+        return out
+
+
 class PrestackedBlocks(Module):
     """N structurally-identical blocks whose per-block parameters were
     stacked along a leading axis at BUILD time.

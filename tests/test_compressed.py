@@ -137,7 +137,8 @@ def test_build_compressed_gpt_matches_plain():
     with cfg.temp_override({"models.head_chunk_positions": 4}):
         curl_tpu.init(world_size=2, seed=21)
         _init_counter[0] = 0
-        m = models.GPT.build_compressed(**geom, head_vocab_chunks=4)
+        m = models.GPT.build_compressed(**geom, head_vocab_chunks=4,
+                                        chunk_block_linears=True)
         apply_fn, params = m.functional()
         # no leaf carries a party axis and block leaves are (num_blocks, ...)
         stacked = m.blocks._parameters["stacked"]
