@@ -234,17 +234,23 @@ def _run(seq):
         xe = curl_tpu.cryptensor(x)
 
     cached_mode = os.environ.get("BENCH_CACHE", "0") == "1"
+    offline_fill_sec = None
     if cached_mode:
         # offline/online split: tuple generation leaves the online program
-        # (the reference's --with_cache mode)
+        # (the reference's --with_cache mode). The reported latency is the
+        # ONLINE phase only; the offline dealer time is measured separately
+        # and recorded in detail.offline_fill_sec for honesty.
         online, fill = curl_tpu.compile_parties_cached(
             apply_fn, 2, 99, params, xe.mpc
         )
-        cache = fill(jax.random.PRNGKey(98))
-        # force completion of the offline fill before timing the online step
         from curl_tpu.utils.timing import device_sync
 
+        cache = fill(jax.random.PRNGKey(97))
+        device_sync(jax.tree_util.tree_leaves(cache)[0])  # compile + run
+        t0 = time.time()
+        cache = fill(jax.random.PRNGKey(98))
         device_sync(jax.tree_util.tree_leaves(cache)[0])
+        offline_fill_sec = time.time() - t0
         step = lambda key, p, xm: online(key, cache, p, xm)  # noqa: E731
     else:
         step = curl_tpu.compile_parties(apply_fn, world_size=2)
@@ -331,6 +337,9 @@ def _run(seq):
                     "tuple_cache": os.environ.get("BENCH_CACHE", "0") == "1",
                     "backend": jax.default_backend(),
                     "baseline_tokens_per_sec": baseline_tps,
+                    "offline_fill_sec": (
+                        round(offline_fill_sec, 4) if offline_fill_sec else None
+                    ),
                     "timing": "on-device reduce + host scalar fetch "
                               "(block_until_ready is unreliable on axon)",
                     "mxu_floor_sec": round(floor, 4) if floor else None,

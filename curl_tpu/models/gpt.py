@@ -280,6 +280,26 @@ class GPT(nn.Module):
         if masked is not w._tensor:
             lin._parameters["weight"] = MPCTensor(masked)
 
+    def premask_for_reuse(self):
+        """Beaver-mask every weight that a multi-forward trace (a decode
+        loop, a multi-step training unroll) will reuse: embedding table,
+        LM head, and each block's Linears. Masks are drawn ONCE at trace
+        top; the block scan stacks the masked pytrees so every later
+        product pays only input-sized randomness (beaver.mask_operand).
+        No-op where masking doesn't apply (plain/compressed weights,
+        non-TFP providers, cache flows)."""
+        if self.full:
+            self._premask_linear(self.tok_embed)
+            self._premask_linear(self.fc)
+        blocks = self.blocks
+        if isinstance(blocks, nn.Sequential):
+            for blk in blocks:
+                self._premask_linear(blk.attn.search)
+                self._premask_linear(blk.attn.proj)
+                self._premask_linear(blk.ff._modules["0"])
+                self._premask_linear(blk.ff._modules["2"])
+        return self
+
     # -- GPT-Neo-scale streaming construction ----------------------------
     @classmethod
     def build_compressed(cls, embed_dim, num_heads, num_blocks, vocab_size,

@@ -42,6 +42,11 @@ def build_generator(model, steps):
     T = model.seq_len
 
     def forward(buf, sel_masks, write_masks, step_ids):
+        # every weight is reused at every decode step: Beaver-mask them all
+        # ONCE at trace top (models/gpt.py premask_for_reuse) — per-step
+        # products then draw only input-sized randomness
+        if hasattr(model, "premask_for_reuse"):
+            model.premask_for_reuse()
         emb_w = model.tok_embed._parameters["weight"]
         pos = model._parameters["pos_embed"]
 
