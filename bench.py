@@ -210,11 +210,13 @@ def _run(seq):
     if "BENCH_COMPRESS" in os.environ:
         compress = os.environ["BENCH_COMPRESS"] == "1"
     else:
-        # GPT-Neo-scale weights cannot materialize both parties' shares in
-        # one chip's HBM (1.3B x 8B x 2 = 21 GB > 16 GB); seed-compressed
-        # shares + streaming construction + vocab-chunked head fit it
-        # (models/gpt.py build_compressed)
-        compress = MODEL in ("GPTNeo", "GPTNeoLarge")
+        # Seed-compressed shares + streaming construction + vocab-chunked
+        # head/embedding (models/gpt.py build_compressed). Mandatory for
+        # GPT-Neo-scale weights (materialized shares are 21 GB > 16 GB HBM)
+        # and measured FASTER for GPT-2 too (0.464s vs 0.519s: regenerating
+        # party 1's share from the hardware PRNG beats reading it from HBM,
+        # and the masked/chunked head removes weight-sized reveal traffic).
+        compress = FULL and hasattr(getattr(models, MODEL, None), "GEOM")
     if compress and FULL and hasattr(model_cls, "GEOM"):
         model = models.GPT.build_compressed(
             **model_cls.GEOM, seq_len=seq,

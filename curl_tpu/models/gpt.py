@@ -31,40 +31,16 @@ class ChunkedLMHead(nn.Module):
         super().__init__()
         import jax
 
-        from ..mpc.mpc import MPCTensor
-        from ..mpc.primitives.compressed import SeedCompressedArithmetic
-        from ..nn.module import _init_key
+        from ..nn.module import _init_key, stack_compressed_chunks
 
         V, d = weight.shape
         self.vocab = V
         self.n_chunks = n_chunks
-        vc = -(-V // n_chunks)  # ceil
-        self.v_pad = vc * n_chunks
         master = jax.random.fold_in(_init_key(), 0x10EAD)
-
-        stacked = None
-        treedef = None
-        for i in range(n_chunks):
-            lo = i * vc
-            n_real = max(0, min(vc, V - lo))
-            rows = weight[lo:lo + n_real]
-            if n_real < vc:  # zero-pad the tail chunk
-                rows = jnp.concatenate(
-                    [rows, jnp.zeros((vc - n_real, d), weight.dtype)], 0
-                )
-            t = SeedCompressedArithmetic.encrypt(
-                rows, jax.random.fold_in(master, i)
-            )
-            leaves, treedef = jax.tree_util.tree_flatten(MPCTensor(t))
-            if stacked is None:
-                stacked = [
-                    jnp.zeros((n_chunks,) + l.shape, l.dtype) for l in leaves
-                ]
-            stacked = [write_fn(s, l, i) for s, l in zip(stacked, leaves)]
-            del rows, t, leaves
-        self._parameters["wchunks"] = jax.tree_util.tree_unflatten(
-            treedef, stacked
+        tree, _vc, self.v_pad = stack_compressed_chunks(
+            weight, n_chunks, 0, write_fn, master
         )
+        self._parameters["wchunks"] = tree
         if bias is not None:
             self.register_parameter("bias", bias)
 
@@ -104,42 +80,19 @@ class ChunkedEmbedding(nn.Module):
         super().__init__()
         import jax
 
-        from ..mpc.mpc import MPCTensor
-        from ..mpc.primitives.compressed import SeedCompressedArithmetic
-        from ..nn.module import _init_key
+        from ..encoder import FixedPointEncoder
+        from ..nn.module import _init_key, stack_compressed_chunks
 
         V, d = weight.shape
         self.vocab = V
         self.embed_dim = d
         self.n_chunks = n_chunks
-        vc = -(-V // n_chunks)
-        self.v_pad = vc * n_chunks
+        self._encoder_bits = FixedPointEncoder(None).precision_bits
         master = jax.random.fold_in(_init_key(), 0xE4BED)
-
-        stacked = None
-        treedef = None
-        for i in range(n_chunks):
-            lo = i * vc
-            n_real = max(0, min(vc, V - lo))
-            rows = weight[lo:lo + n_real]
-            if n_real < vc:
-                rows = jnp.concatenate(
-                    [rows, jnp.zeros((vc - n_real, d), weight.dtype)], 0
-                )
-            t = SeedCompressedArithmetic.encrypt(
-                rows, jax.random.fold_in(master, i)
-            )
-            self._encoder_bits = t.encoder.precision_bits
-            leaves, treedef = jax.tree_util.tree_flatten(MPCTensor(t))
-            if stacked is None:
-                stacked = [
-                    jnp.zeros((n_chunks,) + l.shape, l.dtype) for l in leaves
-                ]
-            stacked = [write_fn(s, l, i) for s, l in zip(stacked, leaves)]
-            del rows, t, leaves
-        self._parameters["tchunks"] = jax.tree_util.tree_unflatten(
-            treedef, stacked
+        tree, _vc, self.v_pad = stack_compressed_chunks(
+            weight, n_chunks, 0, write_fn, master
         )
+        self._parameters["tchunks"] = tree
 
     def forward(self, x):
         from ..encoder import FixedPointEncoder

@@ -68,22 +68,33 @@ class SeedCompressedArithmetic(ArithmeticSharedTensor):
     returns a plain ArithmeticSharedTensor via with_share().
     """
 
-    __slots__ = ("share0", "key", "_impl")
+    __slots__ = ("share0_lo", "share0_hi", "key", "_impl")
 
-    def __init__(self, share0, key, encoder: FixedPointEncoder, impl: str):
-        # deliberately NOT calling super().__init__ — `share` is a property
-        self.share0 = share0
+    def __init__(self, share0_lo, share0_hi, key, encoder: FixedPointEncoder,
+                 impl: str):
+        # deliberately NOT calling super().__init__ — `share` is a property.
+        # share0 is stored as uint32 (lo, hi) PLANES, not uint64: on TPU the
+        # X64 emulation splits every uint64 program INPUT into u32-pair
+        # temporaries (X64SplitLow custom-calls) — a full second copy of the
+        # resident weights, which is exactly the memory this class exists
+        # to save (measured: GPT-Neo's 11.3 GB of share0 inputs spawned
+        # ~11 GB of split temps and OOM'd). u32 inputs split nothing.
+        self.share0_lo = share0_lo
+        self.share0_hi = share0_hi
         self.key = key
         self.encoder = encoder
         self._impl = impl
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
-        return (self.share0, self.key), (self.encoder.precision_bits, self._impl)
+        return (self.share0_lo, self.share0_hi, self.key), (
+            self.encoder.precision_bits,
+            self._impl,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], FixedPointEncoder(aux[0]), aux[1])
+        return cls(*children, FixedPointEncoder(aux[0]), aux[1])
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -100,26 +111,37 @@ class SeedCompressedArithmetic(ArithmeticSharedTensor):
             value = value.astype(jnp.float64)
         encoded = jnp.asarray(enc.encode(value))
         r = bits_for_impl(key, encoded.shape, impl)
-        return cls(encoded - r, key, enc, impl)
+        share0 = encoded - r
+        lo = (share0 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        hi = (share0 >> jnp.uint64(32)).astype(jnp.uint32)
+        return cls(lo, hi, key, enc, impl)
 
     # -- lazy expansion ----------------------------------------------------
     @property
+    def share0(self):
+        """The resident share reassembled to uint64 (in-trace view)."""
+        return (
+            self.share0_hi.astype(jnp.uint64) << jnp.uint64(32)
+        ) | self.share0_lo.astype(jnp.uint64)
+
+    @property
     def share(self):
         """This lane's materialized share (party trace only, 2PC)."""
-        r = bits_for_impl(self.key, self.share0.shape, self._impl)
+        share0 = self.share0
+        r = bits_for_impl(self.key, share0.shape, self._impl)
         if comm.get_world_size() == 1:
-            return self.share0 + r  # degenerate: the plain encoding
+            return share0 + r  # degenerate: the plain encoding
         is0 = (comm.rank_signed() == 0).astype(jnp.uint64)
         # both lanes compute both operands; select is lane-local
-        return is0 * self.share0 + (jnp.uint64(1) - is0) * r
+        return is0 * share0 + (jnp.uint64(1) - is0) * r
 
     @property
     def shape(self):
-        return self.share0.shape
+        return self.share0_lo.shape
 
     @property
     def ndim(self):
-        return self.share0.ndim
+        return self.share0_lo.ndim
 
     def with_share(self, share) -> ArithmeticSharedTensor:
         return ArithmeticSharedTensor(share, self.encoder)

@@ -37,7 +37,11 @@ def test_pytree_roundtrip_and_vmap_axes():
 
     t = SeedCompressedArithmetic.encrypt(np.ones((4, 4)), jax.random.PRNGKey(1))
     leaves, treedef = jax.tree_util.tree_flatten(MPCTensor(t))
-    assert len(leaves) == 2  # share0, key — no materialized party axis
+    # share0 lo/hi u32 planes + key — no materialized party axis, and no
+    # uint64 inputs (the TPU X64 emulation would split those into a full
+    # second copy of temps)
+    assert len(leaves) == 3
+    assert all(l.dtype != jnp.uint64 for l in leaves[:2])
     rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
     assert isinstance(rebuilt._tensor, SeedCompressedArithmetic)
 
