@@ -283,15 +283,39 @@ def _run(seq):
         )
 
     sanity_ratio = None
-    if SANITY and seq >= 16 and FULL:
+    # two resident models exceed HBM at GPT-Neo scale; sanity needs both
+    too_big_for_two = (
+        compress
+        and hasattr(model_cls, "GEOM")
+        and model_cls.GEOM["embed_dim"] >= 2048
+        and jax.default_backend() != "cpu"
+    )
+    if SANITY and seq >= 16 and FULL and not too_big_for_two:
         # O(T^2) attention + O(T) everything else: halving seq must shrink
         # latency. A flat profile means timing is broken (round-1 artifact).
-        half_model = getattr(models, MODEL)(seq_len=seq // 2, full=FULL)
-        half_model.encrypt(src=0)
+        # The half model MUST be built through the same path (compressed vs
+        # materialized, cached vs direct) as the main model: the compressed
+        # seq-64 forward is faster than a MATERIALIZED seq-32 one for
+        # reasons unrelated to timing, which would invert the ratio.
+        if compress and FULL and hasattr(model_cls, "GEOM"):
+            half_model = models.GPT.build_compressed(
+                **model_cls.GEOM, seq_len=seq // 2,
+                head_vocab_chunks=int(os.environ.get("BENCH_VOCAB_CHUNKS", "8")),
+            )
+        else:
+            half_model = model_cls(seq_len=seq // 2, full=FULL)
+            half_model.encrypt(src=0, seed_compress=compress)
         h_apply, h_params = half_model.functional()
         hx = np.random.default_rng(0).integers(0, 1000, size=(BATCH, seq // 2))
         hxe = curl_tpu.cryptensor(hx.astype(np.float64), precision=0)
-        h_step = curl_tpu.compile_parties(h_apply, world_size=2)
+        if cached_mode:
+            h_online, h_fill = curl_tpu.compile_parties_cached(
+                h_apply, 2, 99, h_params, hxe.mpc
+            )
+            h_cache = h_fill(jax.random.PRNGKey(97))
+            h_step = lambda key, p, xm: h_online(key, h_cache, p, xm)  # noqa: E731
+        else:
+            h_step = curl_tpu.compile_parties(h_apply, world_size=2)
         h_out = h_step(jax.random.PRNGKey(100), h_params, hxe.mpc)
         sync(h_out)  # compile
         h_times = []
