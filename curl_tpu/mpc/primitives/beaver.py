@@ -81,6 +81,11 @@ def _beaver_protocol(op, x, y, **kwargs):
     # each is a full int8-limb MXU pass (ring.py), so this is a 1/3 cut of
     # the protocol's matmul/conv work. sum_p x_p = x makes the x*delta term
     # self-correcting: no rank-0 public-term mask needed.
+    if op == "matmul" and x.ndim >= 2:
+        # both products share one fused kernel pass (one limb-plane
+        # accumulator, one recombine, one output write — ring.matmul_acc)
+        z = c.share + ring.matmul_acc([(epsilon, b.share), (x.share, delta)])
+        return ArithmeticSharedTensor(z, x.encoder)
     ring_op = _RING_OPS[op]
     z = c.share
     z = z + ring_op(epsilon, b.share, **kwargs)
@@ -193,6 +198,27 @@ def _masked_protocol(op, x, y: MaskedArithmetic, **kwargs):
     """One product against a pre-masked operand: fresh input-sized a only."""
     ring_op = _RING_OPS[op]
     a = rng.random_ring(x.shape, "local")
+    if op == "matmul" and x.ndim >= 2 and y.ndim >= 2:
+        # all three products — the dealer product a@b_plain (rank-0 masked
+        # on the LEFT operand: mask*(a@b) == (mask*a)@b), eps@b_share, and
+        # x@delta — land in one fused kernel pass (ring.matmul_acc). Same
+        # RNG draw order as the generic path below: a, PRZS(x), PRZS(out).
+        batch = np.broadcast_shapes(x.shape[:-2], y.shape[:-2])
+        out_shape = batch + (x.shape[-2], y.shape[-1])
+        a_share = rng.przs_arithmetic(x.shape)
+        c_share = rng.przs_arithmetic(out_shape)
+        if comm.get_world_size() > 1:
+            mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+            a_share = a_share + mask * a
+            a_eff = a * mask
+        else:
+            a_share = a_share + a
+            a_eff = a
+        epsilon = comm.all_sum(x.share - a_share)
+        z = c_share + ring.matmul_acc(
+            [(a_eff, y.b_plain), (epsilon, y.b_share), (x.share, y.delta)]
+        )
+        return ArithmeticSharedTensor(z, x.encoder)
     c = ring_op(a, y.b_plain, **kwargs)  # dealer product (lane-local draw)
     a_share = rng.przs_arithmetic(x.shape)
     c_share = rng.przs_arithmetic(np.shape(c))

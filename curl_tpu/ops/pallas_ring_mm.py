@@ -104,6 +104,24 @@ def mm_tile_math(al, ah, bl, bh):
     )
 
 
+def acc_tile_into(acc_ref, al, ah, bl, bh, tn):
+    """Same contribution as mm_tile_math, accumulated into ``acc_ref``
+    as 8 per-limb MXU dots against static lane slices.
+
+    Rationale: the single-dot form concatenates the 8 B-limb planes along
+    the LANE dimension ((TK, 8*TN) int8) — a cross-lane relayout Mosaic
+    executes poorly. The A-limb concat along sublanes is cheap and stays;
+    each B limb plane (TK, TN) is consumed in its natural layout."""
+    da = jnp.concatenate(_balanced_limbs_planes(al, ah), axis=0)  # (8TM, TK)
+    dbs = _balanced_limbs_planes(bl, bh)                          # 8x(TK, TN)
+    for j in range(_N_LIMBS):
+        acc_ref[:, j * tn:(j + 1) * tn] += jax.lax.dot_general(
+            da, dbs[j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrapper
 # ---------------------------------------------------------------------------
@@ -115,6 +133,11 @@ _TN = 256
 _TK = 512
 
 
+# A/B switch: per-limb lane-slice dots (True) vs one concatenated dot.
+# Flipped after on-device timing; the math is identical (tests cover both).
+_PER_LIMB_DOTS = True
+
+
 def _kernel(al_ref, ah_ref, bl_ref, bh_ref, ol_ref, oh_ref, acc_ref):
     k = pl.program_id(3)
 
@@ -122,9 +145,14 @@ def _kernel(al_ref, ah_ref, bl_ref, bh_ref, ol_ref, oh_ref, acc_ref):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc_ref[...] += mm_tile_math(
-        al_ref[0], ah_ref[0], bl_ref[0], bh_ref[0]
-    )
+    if _PER_LIMB_DOTS:
+        acc_tile_into(
+            acc_ref, al_ref[0], ah_ref[0], bl_ref[0], bh_ref[0], _TN
+        )
+    else:
+        acc_ref[...] += mm_tile_math(
+            al_ref[0], ah_ref[0], bl_ref[0], bh_ref[0]
+        )
 
     @pl.when(k == pl.num_programs(3) - 1)
     def _():
@@ -218,6 +246,148 @@ def _mm_batched_rule(axis_size, in_batched, a, b):  # noqa: ANN001
         b.reshape((axis_size * B,) + b.shape[2:]),
     )
     return out.reshape((axis_size, B) + out.shape[1:]), True
+
+
+# ---------------------------------------------------------------------------
+# multi-pair matmul-accumulate: sum_p A_p @ B_p mod 2^64 in ONE kernel pass
+# ---------------------------------------------------------------------------
+#
+# The Beaver protocols compute sums of ring matmuls over the SAME output
+# tile (unmasked: eps@b + x@delta; masked-operand: a@b_plain + eps@b_share
+# + x@delta). Running them as separate kernels recombines the int32 limb
+# planes and writes the u64 output P times, then re-reads it for the adds.
+# Limb-plane sums are linear BEFORE recombination, so all P products can
+# share one int32 accumulator: one recombine pass, one output write, zero
+# intermediate (M, N) u64 traffic. Exactness: |balanced digit product|
+# <= 2^14, accumulated over sum_p K_p terms -> requires
+# n_pairs * K < 2^17 (= ring.MAX_EXACT_K), which the caller guards.
+
+
+def _acc_kernel(*refs):
+    n_pairs = (len(refs) - 3) // 4
+    ol_ref, oh_ref, acc_ref = refs[-3], refs[-2], refs[-1]
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for p in range(n_pairs):
+        al, ah, bl, bh = refs[4 * p:4 * p + 4]
+        if _PER_LIMB_DOTS:
+            acc_tile_into(acc_ref, al[0], ah[0], bl[0], bh[0], _TN)
+        else:
+            acc_ref[...] += mm_tile_math(al[0], ah[0], bl[0], bh[0])
+
+    @pl.when(k == pl.num_programs(3) - 1)
+    def _():
+        lo, hi = _combine_planes_pair(acc_ref[...], _TM, _TN)
+        ol_ref[0] = lo
+        oh_ref[0] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mm_planes_acc(*planes, interpret=False):
+    """planes: flat (al, ah, bl, bh) per pair, every pair (B, M, K) x
+    (B, K, N) uint32 planes -> summed (B, M, N) planes, exact mod 2^64."""
+    n_pairs = len(planes) // 4
+    B, M, K = planes[0].shape
+    N = planes[2].shape[-1]
+    mp = -(-M // _TM) * _TM
+    kp = -(-K // _TK) * _TK
+    npad = -(-N // _TN) * _TN
+    padded = []
+    for p in range(n_pairs):
+        al, ah, bl, bh = planes[4 * p:4 * p + 4]
+        padded += [
+            _pad_to(al, mp, kp), _pad_to(ah, mp, kp),
+            _pad_to(bl, kp, npad), _pad_to(bh, kp, npad),
+        ]
+
+    grid = (B, mp // _TM, npad // _TN, kp // _TK)
+    a_spec = pl.BlockSpec(
+        (1, _TM, _TK), lambda b, m, n, k: (b, m, k), memory_space=pltpu.VMEM
+    )
+    b_spec = pl.BlockSpec(
+        (1, _TK, _TN), lambda b, m, n, k: (b, k, n), memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec(
+        (1, _TM, _TN), lambda b, m, n, k: (b, m, n), memory_space=pltpu.VMEM
+    )
+    with jax.enable_x64(False):
+        ol, oh = pl.pallas_call(
+            _acc_kernel,
+            grid=grid,
+            in_specs=[a_spec, a_spec, b_spec, b_spec] * n_pairs,
+            out_specs=(o_spec, o_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, mp, npad), jnp.uint32),
+                jax.ShapeDtypeStruct((B, mp, npad), jnp.uint32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_N_LIMBS * _TM, _N_LIMBS * _TN), jnp.int32)
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * mp * kp * npad * _N_LIMBS * _N_LIMBS * n_pairs,
+                bytes_accessed=8 * B * (
+                    n_pairs * (mp * kp + kp * npad) + mp * npad
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*padded)
+    return ol[:, :M, :N], oh[:, :M, :N]
+
+
+@functools.lru_cache(maxsize=None)
+def _acc_batched_fn(n_pairs, interpret):
+    """One custom_vmap per pair count: the party-simulation vmap folds into
+    the kernel's leading batch grid dimension (same rule as _mm_batched)."""
+
+    @jax.custom_batching.custom_vmap
+    def f(*ab):  # (a0, b0, a1, b1, ...) each (B, M, K) / (B, K, N) uint64
+        planes = []
+        for p in range(n_pairs):
+            al, ah = up.from_u64(ab[2 * p])
+            bl, bh = up.from_u64(ab[2 * p + 1])
+            planes += [al, ah, bl, bh]
+        ol, oh = _mm_planes_acc(*planes, interpret=interpret)
+        return up.to_u64(ol, oh)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *ab):  # noqa: ANN001
+        ab = list(ab)
+        for i, batched in enumerate(in_batched):
+            if not batched:
+                ab[i] = jnp.broadcast_to(
+                    ab[i][None], (axis_size,) + ab[i].shape
+                )
+        B = ab[0].shape[1]
+        flat = [v.reshape((axis_size * B,) + v.shape[2:]) for v in ab]
+        out = f(*flat)
+        return out.reshape((axis_size, B) + out.shape[1:]), True
+
+    return f
+
+
+def matmul_acc(pairs, interpret=False):
+    """sum_p (A_p @ B_p) mod 2^64 in one fused pass. Every pair must share
+    the contraction depth K and produce the same (batch, M, N) output;
+    caller guarantees len(pairs) * K < ring.MAX_EXACT_K."""
+    norm = [(jnp.asarray(a), jnp.asarray(b)) for a, b in pairs]
+    batch = jnp.broadcast_shapes(
+        *[a.shape[:-2] for a, _ in norm], *[b.shape[:-2] for _, b in norm]
+    )
+    nb = int(np.prod(batch)) if batch else 1
+    flat = []
+    for a, b in norm:
+        a = jnp.broadcast_to(a, batch + a.shape[-2:])
+        b = jnp.broadcast_to(b, batch + b.shape[-2:])
+        flat += [
+            a.reshape((nb,) + a.shape[-2:]), b.reshape((nb,) + b.shape[-2:])
+        ]
+    out = _acc_batched_fn(len(norm), interpret)(*flat)
+    return out.reshape(batch + out.shape[-2:])
 
 
 def matmul(a_u64, b_u64):

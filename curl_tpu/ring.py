@@ -291,6 +291,43 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     return out
 
 
+def matmul_acc(pairs) -> jax.Array:
+    """sum_p (A_p @ B_p) mod 2^64 — the Beaver-protocol reconstruction sum.
+
+    Where the fused Pallas kernel applies, all products share ONE int32
+    limb-plane accumulator (limb planes are linear before recombination):
+    one recombine pass and one u64 output write instead of P of each plus
+    P-1 intermediate adds. Exactness needs the accumulated contraction
+    sum_p K_p * 2^14 < 2^31, i.e. total K < MAX_EXACT_K. Falls back to
+    summed ring.matmul calls (CPU backend, ragged Ks, 1-D operands,
+    or an over-deep contraction)."""
+    pairs = [(jnp.asarray(a), jnp.asarray(b)) for a, b in pairs]
+    if len(pairs) == 1:
+        return matmul(*pairs[0])
+    fusable = all(a.ndim >= 2 and b.ndim >= 2 for a, b in pairs)
+    if fusable:
+        ks = {a.shape[-1] for a, _ in pairs}
+        ms = {a.shape[-2] for a, _ in pairs}
+        ns = {b.shape[-1] for _, b in pairs}
+        k = next(iter(ks))
+        fusable = (
+            len(ks) == 1
+            and len(ms) == 1
+            and len(ns) == 1
+            and all(a.shape[-1] == b.shape[-2] for a, b in pairs)
+            and len(pairs) * k < MAX_EXACT_K
+            and _pallas_mm_enabled(next(iter(ms)), k, next(iter(ns)))
+        )
+    if fusable:
+        from .ops import pallas_ring_mm
+
+        return pallas_ring_mm.matmul_acc(pairs)
+    out = matmul(*pairs[0])
+    for a, b in pairs[1:]:
+        out = out + matmul(a, b)
+    return out
+
+
 def _xla_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     """The portable XLA limb path (batch dims already broadcast)."""
     batch = a.shape[:-2]

@@ -132,3 +132,51 @@ def test_masked_embedding_lookup_parity():
         np.testing.assert_allclose(
             plainout[mode], table[ids.astype(int)], atol=2e-4
         )
+
+
+@pytest.mark.parametrize("masked_mode", [True, False])
+def test_matmul_fused_kernel_protocol_parity(masked_mode):
+    """The fused multi-pair kernel path (ring.matmul_acc -> pallas,
+    interpret mode) decodes IDENTICALLY to the CPU fallback path, for both
+    the masked-operand (3-pair) and ordinary Beaver (2-pair) protocols —
+    same RNG draw order, so the output shares are bit-equal."""
+    import functools
+
+    from curl_tpu import ring
+    from curl_tpu.mpc.primitives import beaver
+    from curl_tpu.ops import pallas_ring_mm as pmm
+
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(6, 32))
+    w = rng.normal(size=(32, 10)) * 0.1
+
+    def fn(xm, wm):
+        t = beaver.mask_operand(wm._tensor) if masked_mode else wm._tensor
+        return xm._wrap(beaver.matmul(xm._tensor, t))
+
+    xe = curl_tpu.cryptensor(x)
+    we = curl_tpu.cryptensor(w)
+
+    plain_out = curl_tpu._eager_run(fn, xe, we)
+    plain_val = np.asarray(plain_out.get_plain_text())
+
+    orig_enabled = ring._pallas_mm_enabled
+    orig_acc = pmm.matmul_acc
+    orig_mm3d = pmm.matmul_3d
+    try:
+        ring._pallas_mm_enabled = lambda M, K, N: True
+        pmm.matmul_acc = functools.partial(orig_acc, interpret=True)
+        # plain ring.matmul calls (triple-gen dealer product) also route to
+        # pallas under the forced gate: interpret them too on CPU
+        pmm.matmul_3d = functools.partial(orig_mm3d, interpret=True)
+        fused_out = curl_tpu._eager_run(fn, xe, we)
+    finally:
+        ring._pallas_mm_enabled = orig_enabled
+        pmm.matmul_acc = orig_acc
+        pmm.matmul_3d = orig_mm3d
+
+    fused_val = np.asarray(fused_out.get_plain_text())
+    np.testing.assert_array_equal(plain_val, fused_val)
+    np.testing.assert_allclose(
+        fused_val, (x @ w) * (1 << 16), rtol=1e-4, atol=1.0
+    )

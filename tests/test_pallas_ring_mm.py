@@ -84,3 +84,57 @@ def test_tile_math_standalone():
     np.testing.assert_array_equal(
         np.asarray(got), np.asarray(ring.matmul(a, b))
     )
+
+
+@pytest.mark.parametrize(
+    "n_pairs,M,K,N",
+    [
+        (2, 4, 16, 8),         # tiny, padded
+        (3, 64, 512, 256),     # exactly one tile, masked-protocol arity
+        (2, 65, 700, 300),     # ragged in every dim
+        (3, 32, 96, 520),      # multi-tile in n only
+    ],
+)
+def test_matmul_acc_matches_summed(n_pairs, M, K, N):
+    """The multi-pair accumulate kernel == sum of separate ring matmuls."""
+    rng = np.random.default_rng(1000 + 7 * n_pairs + M)
+    pairs = [
+        (rand_u64(rng, (M, K)), rand_u64(rng, (K, N)))
+        for _ in range(n_pairs)
+    ]
+    ref = ring.matmul(*pairs[0])
+    for a, b in pairs[1:]:
+        ref = ref + ring.matmul(a, b)
+    got = pmm.matmul_acc(pairs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_matmul_acc_vmap_and_broadcast():
+    """Party-style vmap folds into the batch grid; unbatched (public)
+    operands broadcast — the exact shapes the Beaver protocols feed it."""
+    import jax
+
+    rng = np.random.default_rng(77)
+    eps = rand_u64(rng, (8, 96))            # public (revealed), unbatched
+    delta = rand_u64(rng, (96, 40))         # public (revealed), unbatched
+    xs = rand_u64(rng, (2, 8, 96))          # per-party share
+    bs = rand_u64(rng, (2, 96, 40))         # per-party mask share
+
+    ref = ring.matmul(jnp.broadcast_to(eps, (2, 8, 96)), bs) + ring.matmul(
+        xs, jnp.broadcast_to(delta, (2, 96, 40))
+    )
+    got = jax.vmap(
+        lambda x, b: pmm.matmul_acc([(eps, b), (x, delta)], interpret=True)
+    )(xs, bs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_ring_matmul_acc_fallback():
+    """ring.matmul_acc off-TPU falls back to summed matmuls (and handles
+    ragged Ks via the fallback)."""
+    rng = np.random.default_rng(5)
+    a1, b1 = rand_u64(rng, (6, 32)), rand_u64(rng, (32, 10))
+    a2, b2 = rand_u64(rng, (6, 48)), rand_u64(rng, (48, 10))
+    ref = ring.matmul(a1, b1) + ring.matmul(a2, b2)
+    got = ring.matmul_acc([(a1, b1), (a2, b2)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
