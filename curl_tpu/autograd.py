@@ -162,8 +162,39 @@ def _wrap_method(cls, name, plain_method):
     setattr(cls, name, dispatched)
 
 
+def _reject_compressed_grads(args):
+    """Seed-compressed shares are inference-only: a compressed tensor that
+    REQUIRES GRAD entering the tape would produce silently wrong gradients
+    (the PRG-expanded share has no materialized storage to accumulate
+    into; mpc/primitives/compressed.py documents the 2PC/inference scope).
+    Forward use of compressed weights with requires_grad=False stays legal
+    (grads flow to the other operands only)."""
+    from .mpc.primitives.compressed import SeedCompressedArithmetic
+
+    def check(a):
+        if not getattr(a, "requires_grad", False):
+            return
+        t = getattr(a, "_tensor", a)
+        t = getattr(t, "_tensor", t)  # CrypTensor -> MPCTensor -> shared
+        if isinstance(t, SeedCompressedArithmetic):
+            raise RuntimeError(
+                "backward through seed-compressed shares is unsupported: "
+                "they are inference-only (2PC). Encrypt the parameters "
+                "with seed_compress=False (materialized shares) to train."
+            )
+
+    for a in args:
+        if _is_tensor_like(a):
+            check(a)
+        elif isinstance(a, (list, tuple)):
+            for t in a:
+                if _is_tensor_like(t):
+                    check(t)
+
+
 def apply_function(name, *args, **kwargs):
     """Run a registered AutogradFunction and record the tape node."""
+    _reject_compressed_grads(args)
     grad_cls = FUNCTION_REGISTRY[name]
     ctx = AutogradContext()
     with no_grad():

@@ -127,9 +127,20 @@ class SeedCompressedArithmetic(ArithmeticSharedTensor):
     @property
     def share(self):
         """This lane's materialized share (party trace only, 2PC)."""
+        ws = comm.get_world_size()
+        if ws > 2:
+            # share0 + r telescopes only over exactly two lanes; at ws>2
+            # every extra lane would add another r and decode garbage
+            # silently. Enforced here — the single consumption choke point.
+            raise RuntimeError(
+                f"seed-compressed shares are 2PC-only (world_size={ws}): "
+                "party 1's share is PRG(key) and parties 2.. would "
+                "duplicate it, decoding garbage. Use materialized shares "
+                "(encrypt with seed_compress=False) for ws > 2."
+            )
         share0 = self.share0
         r = bits_for_impl(self.key, share0.shape, self._impl)
-        if comm.get_world_size() == 1:
+        if ws == 1:
             return share0 + r  # degenerate: the plain encoding
         is0 = (comm.rank_signed() == 0).astype(jnp.uint64)
         # both lanes compute both operands; select is lane-local

@@ -375,6 +375,12 @@ def matmul_acc(pairs, interpret=False):
     the contraction depth K and produce the same (batch, M, N) output;
     caller guarantees len(pairs) * K < ring.MAX_EXACT_K."""
     norm = [(jnp.asarray(a), jnp.asarray(b)) for a, b in pairs]
+    mkns = {(a.shape[-2], a.shape[-1], b.shape[-1]) for a, b in norm}
+    if len(mkns) != 1 or any(a.shape[-1] != b.shape[-2] for a, b in norm):
+        raise ValueError(
+            "matmul_acc pairs must share one (M, K, N) signature; got "
+            + ", ".join(f"{a.shape}@{b.shape}" for a, b in norm)
+        )
     batch = jnp.broadcast_shapes(
         *[a.shape[:-2] for a, _ in norm], *[b.shape[:-2] for _, b in norm]
     )

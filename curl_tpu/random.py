@@ -181,9 +181,17 @@ def _bulk_rng_impl() -> str:
     """Backend for *bulk* uniform-bits generation (key derivation is always
     threefry — only the O(elements) expansion is swapped).
 
-    "xla" (default): jax.random.bits — threefry unrolled inline by XLA.
+    "auto" (default): "rbg" under the shard_map runtime, "xla" otherwise.
+    "xla": jax.random.bits — threefry unrolled inline by XLA.
       Portable, but ~200 HLO ops per draw site dominate compile time (and
       compiler memory) for deep protocol graphs.
+    "rbg": ONE XLA RngBitGenerator op per draw site, keyed by the same
+      fold_in(key, count) chain (see _rbg_bits_u64). Collapses protocol
+      HLO size ~4x and cuts the shard_map compile ~3-4x; gated to the
+      shard_map runtime because RngBitGenerator's vmap batching rule does
+      NOT thread per-lane keys (the same silent-PRZS-break documented for
+      "rbg" in _prng_impl) — under shard_map each party is its own
+      program, so per-party key dependence is structural.
     "pallas_tpu": one hardware-PRNG Mosaic kernel per draw site
       (ops/pallas_rng.py). Streams are keyed by 64 bits derived from the
       same fold_in(key, count) chain, so every correlation invariant
@@ -194,20 +202,56 @@ def _bulk_rng_impl() -> str:
     from .config import cfg
 
     try:
-        return cfg.mpc.bulk_rng or "xla"
+        return cfg.mpc.bulk_rng or "auto"
     except AttributeError:
-        return "xla"
+        return "auto"
+
+
+def _rbg_bits_u64(key, count, shape):
+    """Uniform uint64 bits via ONE XLA RngBitGenerator op.
+
+    State = [base key packed to one u64, draw counter]: counter-based PRNGs
+    are keyed exactly this way, so the per-draw threefry fold_in disappears
+    from the graph entirely (it was ~60 HLO ops x every draw site). Equal
+    (key, count) gives equal streams — the only property the correlation
+    invariants (PRZS, shared global randomness) rely on; distinct counts
+    give independent streams. Determinism holds within a backend; all
+    parties of one execution share a backend. Security posture matches the
+    reference's own mask generation (torch CUDA generators are
+    Philox-counter-based, reference curl/__init__.py:169-204): a
+    counter-based statistical PRNG keyed per draw.
+    """
+    kd = jax.random.key_data(key).astype(jnp.uint64)  # (2,) values < 2^32
+    packed = (kd[0] << jnp.uint64(32)) | kd[1]
+    state = jnp.stack([packed, jnp.uint64(count)])
+    from jax import lax
+
+    _, bits = lax.rng_bit_generator(
+        state, shape, dtype=jnp.uint64, algorithm=lax.RandomAlgorithm.RNG_DEFAULT
+    )
+    return bits
+
+
+def _use_rbg() -> bool:
+    # even an explicit "rbg" request is honored ONLY under shard_map:
+    # RngBitGenerator's vmap batching rule does not thread per-lane keys,
+    # which would silently break the PRZS correlation under the simulated
+    # -party (vmap) runtime
+    impl = _bulk_rng_impl()
+    return impl in ("rbg", "auto") and comm.get_runtime() == "shard_map"
 
 
 def _bits_u64(key, shape):
     """Uniform uint64 bits from a derived key — the single bulk-draw choke
-    point for both the XLA-threefry and Pallas-hardware-PRNG paths."""
+    point for the XLA-threefry and Pallas-hardware-PRNG paths. (The rbg
+    path short-circuits earlier, in _draw_bits, to skip the fold_in.)"""
     import numpy as np
 
+    impl = _bulk_rng_impl()
     n = int(np.prod(shape)) if shape else 1
     if (
         n >= _PALLAS_BULK_MIN_ELEMENTS
-        and _bulk_rng_impl() == "pallas_tpu"
+        and impl == "pallas_tpu"
         and jax.default_backend() == "tpu"
     ):
         from .ops import pallas_rng
@@ -216,10 +260,20 @@ def _bits_u64(key, shape):
     return jax.random.bits(key, shape, dtype=jnp.uint64)
 
 
+def _draw_bits(generator: str, count, shape):
+    """One uniform-u64 draw from (generator stream, count): the rbg path
+    keys the generator directly with (base key, count); other paths derive
+    a per-draw key via threefry fold_in first."""
+    if _use_rbg():
+        return _rbg_bits_u64(current_keys()[generator], count, shape)
+    return _bits_u64(jax.random.fold_in(current_keys()[generator], count), shape)
+
+
 def random_ring(shape, generator: str = "local", count: Optional[int] = None):
     """Uniform uint64 ring element (reference: rng.py:12)."""
-    k = _draw_key(generator, count)
-    return _bits_u64(k, shape)
+    if count is None:
+        count = _next_count()
+    return _draw_bits(generator, count, shape)
 
 
 def random_kbit(
@@ -228,8 +282,9 @@ def random_kbit(
     """Uniform k-bit uint64 in [0, 2^bitlength) (reference: rng.py:33)."""
     if bitlength >= 64:
         return random_ring(shape, generator, count)
-    k = _draw_key(generator, count)
-    bits = _bits_u64(k, shape)
+    if count is None:
+        count = _next_count()
+    bits = _draw_bits(generator, count, shape)
     return bits >> jnp.uint64(64 - bitlength)
 
 

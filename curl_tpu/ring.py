@@ -309,15 +309,15 @@ def matmul_acc(pairs) -> jax.Array:
         ks = {a.shape[-1] for a, _ in pairs}
         ms = {a.shape[-2] for a, _ in pairs}
         ns = {b.shape[-1] for _, b in pairs}
-        k = next(iter(ks))
         fusable = (
             len(ks) == 1
             and len(ms) == 1
             and len(ns) == 1
             and all(a.shape[-1] == b.shape[-2] for a, b in pairs)
-            and len(pairs) * k < MAX_EXACT_K
-            and _pallas_mm_enabled(next(iter(ms)), k, next(iter(ns)))
         )
+        if fusable:
+            (k,), (m,), (n,) = ks, ms, ns
+            fusable = len(pairs) * k < MAX_EXACT_K and _pallas_mm_enabled(m, k, n)
     if fusable:
         from .ops import pallas_ring_mm
 

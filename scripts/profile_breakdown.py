@@ -17,7 +17,11 @@ plus isolated ops at GPT-2 shapes:
   beaver_mm  private matmul (B*T, 768) @ (768, 768)
 
 Usage: python scripts/profile_breakdown.py [stage ...]
-Env: SEQ (default 64), BATCH (1), REPS (3)
+Env: SEQ (default 64), BATCH (1), REPS (3), LOOP (1; >1 runs the stage N
+times inside ONE compiled program — lax.scan with per-iteration forked
+protocol randomness, checksum carried so no iteration is dead code — and
+reports per-iteration time, isolating device time from the ~26 ms
+remote-dispatch floor that single-call timings include)
 """
 
 import json
@@ -32,6 +36,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SEQ = int(os.environ.get("SEQ", "64"))
 BATCH = int(os.environ.get("BATCH", "1"))
 REPS = int(os.environ.get("REPS", "3"))
+LOOP = int(os.environ.get("LOOP", "1"))
+
+_LOOP_FORK_BASE = 29 << 20  # distinct from block/fold/seq fork salt ranges
+
+
+def _looped(f, n: int):
+    """Wrap a stage fn so ONE compiled program runs it n times with fresh
+    protocol randomness per iteration (masks are not elidable), carrying a
+    checksum so XLA keeps every iteration."""
+    import jax
+    from jax import lax
+    import jax.numpy as jnp
+
+    from curl_tpu import random as crng
+
+    def g(*args):
+        def body(acc, i):
+            with crng.fork(i + _LOOP_FORK_BASE):
+                out = f(*args)
+            sh = out.share if hasattr(out, "share") else jax.tree_util.tree_leaves(out)[0]
+            return acc + sh.sum(), None
+
+        acc, _ = lax.scan(body, jnp.zeros((), jnp.uint64), jnp.arange(n))
+        with crng.fork(_LOOP_FORK_BASE + n + 1):
+            out = f(*args)
+        return out, acc
+
+    return g
 
 
 def _sync_factory():
@@ -43,6 +75,10 @@ def _sync_factory():
         import jax.tree_util as jtu
 
         leaves = jtu.tree_leaves(out)
+        # fetch the LAST leaf too: in loop mode it is the scan checksum —
+        # fetching it is what forces all n iterations to have executed
+        if len(leaves) > 1:
+            np.asarray(jax.device_get(leaves[-1]))
         return int(np.asarray(jax.device_get(reduce_fn(leaves[0]))))
 
     return sync
@@ -60,9 +96,10 @@ def _time(tag, step, *args, sync=None, results=None):
         t0 = time.time()
         out = step(jax.random.PRNGKey(8 + i), *args)
         sync(out)
-        times.append(time.time() - t0)
+        times.append((time.time() - t0) / LOOP)
     rec = {"stage": tag, "latency_sec": round(min(times), 4),
-           "compile_sec": round(compile_s, 1), "all": [round(t, 4) for t in times]}
+           "compile_sec": round(compile_s, 1), "loop": LOOP,
+           "all": [round(t, 4) for t in times]}
     print(json.dumps(rec), flush=True)
     results.append(rec)
     return rec
@@ -112,6 +149,13 @@ def main():
 
     sync = _sync_factory()
     results = []
+
+    _cp_orig = curl_tpu.compile_parties
+
+    def _cp(f, ws, **kw):
+        return _cp_orig(_looped(f, LOOP) if LOOP > 1 else f, ws, **kw)
+
+    curl_tpu.compile_parties = _cp
     rng = np.random.default_rng(0)
 
     def want(tag):

@@ -33,6 +33,10 @@ LUT_TOL = 0.12         # LUT approximations (haar/bior cell error envelope)
 CONFIGS = [
     ("TFP", "beaver", 2),
     ("TFP", "beaver", 3),
+    # ws=4: where wrap-corrected truncation and the O(log P) SPK A2B tree
+    # actually scale past the 2PC/3PC fast paths (reference pattern:
+    # test_mpc.py Test3PC subclassing scales to arbitrary world sizes)
+    ("TFP", "beaver", 4),
     ("TTP", "beaver", 2),
     ("TTP", "beaver", 3),
     ("TFP", "replicated", 3),

@@ -67,3 +67,43 @@ def test_pallas_kernel_on_device():
     b = np.asarray(jax.jit(lambda s: pallas_random_bits_u64(s, (640, 7)))(seeds))
     assert (a == b).all()
     assert a.dtype == np.uint64
+
+
+def test_rbg_przs_telescopes_and_is_deterministic():
+    """bulk_rng='rbg' (RngBitGenerator keyed by (base key, count), active
+    only under the shard_map runtime): the PRZS telescoping invariant must
+    hold — party i's 'next' draw equals party i+1's 'prev' draw given the
+    SAME trace counter — and equal (key, count) must reproduce equal bits.
+    (Each party is drawn host-side here, so the shared-trace counter is
+    emulated by passing an explicit count.)"""
+    from curl_tpu import comm
+
+    with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "rbg"}):
+        old_rt = comm.get_runtime()
+        comm.set_runtime("shard_map")
+        try:
+            keys = rng.make_party_keys(17, 3)
+            outs = []
+            for p in range(3):
+                with rng.KeyContext(jax.tree.map(lambda a: a[p], keys)):
+                    cur = rng.random_ring((6, 9), "prev", count=123)
+                    nxt = rng.random_ring((6, 9), "next", count=123)
+                    outs.append(cur - nxt)
+            total = outs[0]
+            for o in outs[1:]:
+                total = total + o  # uint64 wraparound on device
+            assert (np.asarray(total) == 0).all()
+            # determinism: same (generator, count, shape) -> same stream
+            with rng.KeyContext(jax.tree.map(lambda a: a[0], keys)):
+                a = rng.random_ring((5, 5), count=99)
+                b = rng.random_ring((5, 5), count=99)
+                c = rng.random_ring((5, 5), count=100)
+            assert (np.asarray(a) == np.asarray(b)).all()
+            assert (np.asarray(a) != np.asarray(c)).any()
+            # one rbg draw really was used (vs the threefry fallback)
+            with rng.KeyContext(jax.tree.map(lambda a: a[0], keys)):
+                comm.set_runtime("vmap")
+                tf = rng.random_ring((5, 5), count=99)
+            assert (np.asarray(a) != np.asarray(tf)).any()
+        finally:
+            comm.set_runtime(old_rt)
