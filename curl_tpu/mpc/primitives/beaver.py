@@ -373,6 +373,75 @@ def _lut_open_shift(x_flat, size: int):
     return one_hot_r, shift
 
 
+def _onehot_fast_available() -> bool:
+    """Gate for the direct rotated-one-hot construction (TFP dealer-trust
+    fast path): TFP + beaver + passive + 2PC + the vmap simulated-party
+    runtime. Like the fused kernels (ops/pallas_mul.py:fused_available),
+    deliberately NOT gated on the tuple cache: the path makes no provider
+    requests, so it engages identically in the cache RECORDING trace and
+    the SERVING trace. cfg.mpc.fused_onehot=False forces the tuple-based
+    gather form (used by the conformance tests)."""
+    try:
+        if cfg.mpc.fused_onehot is False:
+            return False
+    except AttributeError:
+        pass
+    try:
+        if cfg.mpc.active_security or cfg.mpc.protocol != "beaver":
+            return False
+    except AttributeError:
+        pass
+    provider = _provider()
+    return (
+        getattr(provider, "NAME", None) == "TFP"
+        and comm.get_world_size() == 2
+        and comm.get_runtime() == "vmap"
+    )
+
+
+def _rotated_onehot_fast(x_flat, size: int):
+    """Share of onehot(x mod size) WITHOUT materializing + gathering the
+    rotated tuple one-hot.
+
+    The tuple path holds share[n, j] = PRZS[n, j] + rank0*onehot(r)[n, j]
+    and gathers it at (j - shift_n) mod size — an (N, size) dynamic gather
+    along lanes, miserable on TPU. But a public per-row rotation of a PRZS
+    field is itself a PRZS field, so the rotated share can be built
+    directly: fresh PRZS plus rank0*onehot((r + shift) mod size), where
+    r + shift = x (mod size). Same wire messages (the one revealed value
+    is the same z = x - r; one round, counted by comm.all_sum), same share
+    distribution (uniform mask + data one-hot); the in-trace index
+    reconstruction sits squarely inside the TFP dealer-trust model the
+    fused kernels already use (the TFP dealer knows every tuple plaintext
+    and therefore x = r + shift by construction — reference
+    tfp_provider.py:17 documents the same trust).
+    Reference protocol being accelerated: beaver.py:297-333.
+    """
+    from ... import random as rng_mod
+
+    # same draw pattern as the tuple dealer (accounting + stream parity)
+    r = rng_mod.random_ring(x_flat.shape, "local")
+    r_clear = jnp.mod(ring.to_signed(r), jnp.int64(size))
+    r_share = rng_mod.przs_arithmetic(x_flat.shape)
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
+        r_share = r_share + mask * r_clear.view(jnp.uint64)
+    else:
+        r_share = r_share + r_clear.view(jnp.uint64)
+    z = comm.all_sum(x_flat.share - r_share)
+    shift = jnp.mod(ring.to_signed(z), jnp.int64(size))
+    x_idx = jnp.mod(r_clear + shift, jnp.int64(size)).astype(jnp.int32)
+    grid = jnp.arange(size, dtype=jnp.int32)
+    onehot = (x_idx[:, None] == grid[None, :]).astype(jnp.uint64)
+    oh_share = rng_mod.przs_arithmetic(x_flat.shape + (size,))
+    if comm.get_world_size() > 1:
+        m = (comm.rank_signed() == 0).astype(jnp.uint64)
+        oh_share = oh_share + m * onehot
+    else:
+        oh_share = oh_share + onehot
+    return oh_share
+
+
 def _lut_fastpath_available() -> bool:
     """The gather-form LUT tuple (provider.generate_lut_masks) collapses the
     (N, L) one-hot work to O(N); available for dealers whose tuple plaintext
@@ -573,11 +642,13 @@ def evaluate_embed(x, embed):
         size, dim = share.shape
     shape = x.shape + (dim,)
     x_flat = x.with_share(x.share.reshape(-1))
-    one_hot_r, shift = _lut_open_shift(x_flat, size)
-
-    j = jnp.arange(size, dtype=jnp.int32)[None, :]
-    idx = jnp.mod(j - shift[:, None], size)
-    rotated = jnp.take_along_axis(one_hot_r.share, idx, axis=1)
+    if _onehot_fast_available():
+        rotated = _rotated_onehot_fast(x_flat, size)
+    else:
+        one_hot_r, shift = _lut_open_shift(x_flat, size)
+        j = jnp.arange(size, dtype=jnp.int32)[None, :]
+        idx = jnp.mod(j - shift[:, None], size)
+        rotated = jnp.take_along_axis(one_hot_r.share, idx, axis=1)
     # private x private matmul: the rotated one-hot and the embedding matrix
     # are both secret-shared -> Beaver matmul (reference beaver.py:328 runs
     # the same through ArithmeticSharedTensor.matmul)
@@ -631,10 +702,13 @@ def evaluate_embed_chunked(x, table_chunks, v_real: int, dim: int,
     v_pad = n_chunks * vc
     assert v_real <= v_pad, (v_real, v_pad)
 
-    one_hot_r, shift = _lut_open_shift(x_flat, v_pad)
-    j = jnp.arange(v_pad, dtype=jnp.int32)[None, :]
-    idx = jnp.mod(j - shift[:, None], v_pad)
-    rotated = jnp.take_along_axis(one_hot_r.share, idx, axis=1)
+    if _onehot_fast_available():
+        rotated = _rotated_onehot_fast(x_flat, v_pad)
+    else:
+        one_hot_r, shift = _lut_open_shift(x_flat, v_pad)
+        j = jnp.arange(v_pad, dtype=jnp.int32)[None, :]
+        idx = jnp.mod(j - shift[:, None], v_pad)
+        rotated = jnp.take_along_axis(one_hot_r.share, idx, axis=1)
 
     def body(carry, inp):
         w_i, i = inp

@@ -111,12 +111,20 @@ def acc_tile_into(acc_ref, al, ah, bl, bh, tn):
     Rationale: the single-dot form concatenates the 8 B-limb planes along
     the LANE dimension ((TK, 8*TN) int8) — a cross-lane relayout Mosaic
     executes poorly. The A-limb concat along sublanes is cheap and stays;
-    each B limb plane (TK, TN) is consumed in its natural layout."""
+    each B limb plane (TK, TN) is consumed in its natural layout.
+
+    Triangle trim: plane (i, j) is shifted by 8*(i+j) bits at recombine,
+    so i + j > 7 vanishes mod 2^64 — for B limb j only the first (8-j)
+    A-limb rows contribute. Dotting just that static row prefix cuts MXU
+    work 64 -> 36 plane products (1.78x) with bit-identical output
+    (_combine_planes_pair never reads the dropped planes)."""
+    tm = acc_ref.shape[0] // _N_LIMBS
     da = jnp.concatenate(_balanced_limbs_planes(al, ah), axis=0)  # (8TM, TK)
     dbs = _balanced_limbs_planes(bl, bh)                          # 8x(TK, TN)
     for j in range(_N_LIMBS):
-        acc_ref[:, j * tn:(j + 1) * tn] += jax.lax.dot_general(
-            da, dbs[j],
+        rows = (_N_LIMBS - j) * tm
+        acc_ref[:rows, j * tn:(j + 1) * tn] += jax.lax.dot_general(
+            da[:rows], dbs[j],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
@@ -147,11 +155,13 @@ def _kernel(al_ref, ah_ref, bl_ref, bh_ref, ol_ref, oh_ref, acc_ref):
 
     if _PER_LIMB_DOTS:
         acc_tile_into(
-            acc_ref, al_ref[0], ah_ref[0], bl_ref[0], bh_ref[0], _TN
+            acc_ref, _tile_of(al_ref), _tile_of(ah_ref),
+            _tile_of(bl_ref), _tile_of(bh_ref), _TN
         )
     else:
         acc_ref[...] += mm_tile_math(
-            al_ref[0], ah_ref[0], bl_ref[0], bh_ref[0]
+            _tile_of(al_ref), _tile_of(ah_ref),
+            _tile_of(bl_ref), _tile_of(bh_ref)
         )
 
     @pl.when(k == pl.num_programs(3) - 1)
@@ -169,15 +179,36 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 def _pad_to(x, rows, cols):
     pr, pc = rows - x.shape[-2], cols - x.shape[-1]
     if pr or pc:
-        x = jnp.pad(x, ((0, 0), (0, pr), (0, pc)))
+        pad = ((0, 0),) * (x.ndim - 2) + ((0, pr), (0, pc))
+        x = jnp.pad(x, pad)
     return x
+
+
+def _operand_spec(x, tile, index_map_batched, index_map_shared):
+    """BlockSpec for an operand that is either batched (3-D, indexed by the
+    grid's b dim) or SHARED (2-D — e.g. a weight/table identical across the
+    batch and party lanes): a shared operand is read by every grid b step
+    from the same HBM buffer, so no broadcast_to/reshape copy is ever
+    materialized and the pipeline re-reads it per tile instead of per
+    (party, tile)."""
+    if x.ndim == 3:
+        return pl.BlockSpec(
+            (1,) + tile, index_map_batched, memory_space=pltpu.VMEM
+        )
+    return pl.BlockSpec(tile, index_map_shared, memory_space=pltpu.VMEM)
+
+
+def _tile_of(ref):
+    """The (rows, cols) tile of an operand ref, batched or shared."""
+    return ref[0] if ref.ndim == 3 else ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mm_planes(al, ah, bl, bh, interpret=False):
-    """(B, M, K) x (B, K, N) uint32 planes -> (B, M, N) planes, exact
-    mod 2^64."""
-    B, M, K = al.shape
+    """(B, M, K)|(M, K) x (B, K, N)|(K, N) uint32 planes -> (B, M, N)
+    planes, exact mod 2^64; 2-D operands are shared across the batch."""
+    B = al.shape[0] if al.ndim == 3 else bl.shape[0]
+    M, K = al.shape[-2:]
     N = bl.shape[-1]
     mp = -(-M // _TM) * _TM
     kp = -(-K // _TK) * _TK
@@ -186,11 +217,13 @@ def _mm_planes(al, ah, bl, bh, interpret=False):
     bl, bh = _pad_to(bl, kp, npad), _pad_to(bh, kp, npad)
 
     grid = (B, mp // _TM, npad // _TN, kp // _TK)
-    a_spec = pl.BlockSpec(
-        (1, _TM, _TK), lambda b, m, n, k: (b, m, k), memory_space=pltpu.VMEM
+    a_spec = _operand_spec(
+        al, (_TM, _TK),
+        lambda b, m, n, k: (b, m, k), lambda b, m, n, k: (m, k),
     )
-    b_spec = pl.BlockSpec(
-        (1, _TK, _TN), lambda b, m, n, k: (b, k, n), memory_space=pltpu.VMEM
+    b_spec = _operand_spec(
+        bl, (_TK, _TN),
+        lambda b, m, n, k: (b, k, n), lambda b, m, n, k: (k, n),
     )
     o_spec = pl.BlockSpec(
         (1, _TM, _TN), lambda b, m, n, k: (b, m, n), memory_space=pltpu.VMEM
@@ -219,11 +252,44 @@ def _mm_planes(al, ah, bl, bh, interpret=False):
 
 
 def matmul_3d(a_u64, b_u64, interpret=False):
-    """(B, M, K) @ (B, K, N) uint64 -> (B, M, N) uint64, exact mod 2^64."""
+    """(B, M, K)|(M, K) @ (B, K, N)|(K, N) uint64 -> (B, M, N) uint64,
+    exact mod 2^64; a 2-D operand is SHARED across the batch (read once —
+    no broadcast copy)."""
     al, ah = up.from_u64(a_u64)
     bl, bh = up.from_u64(b_u64)
     ol, oh = _mm_planes(al, ah, bl, bh, interpret=interpret)
     return up.to_u64(ol, oh)
+
+
+def _fold_party_axis(axis_size, in_batched, ops):
+    """vmap-rule helper: fold the vmapped party axis into the kernel batch.
+
+    Unbatched 2-D operands stay 2-D (shared across parties AND the host
+    batch — the common case for weights/tables, saving both the broadcast
+    copy and the per-party HBM re-read). Everything else is normalized to
+    (P, B, rows, cols) and flattened to (P*B, rows, cols):
+      * batched 4-D: host-batched per-party operand — flatten directly;
+      * batched 3-D: per-party 2-D operand (e.g. activations against a
+        host-batched other side) — repeat across B;
+      * unbatched 3-D: host-batched, party-invariant — repeat across P.
+    Returns (folded ops, B)."""
+    B = 1
+    for v, bt in zip(ops, in_batched):
+        if bt and v.ndim == 4:
+            B = max(B, v.shape[1])
+        elif not bt and v.ndim == 3:
+            B = max(B, v.shape[0])
+    out = []
+    for v, bt in zip(ops, in_batched):
+        if not bt:
+            if v.ndim == 2:
+                out.append(v)  # shared
+                continue
+            v = jnp.broadcast_to(v[None], (axis_size,) + v.shape)
+        elif v.ndim == 3:
+            v = jnp.broadcast_to(v[:, None], (axis_size, B) + v.shape[1:])
+        out.append(v.reshape((axis_size * B,) + v.shape[2:]))
+    return out, B
 
 
 # one custom_vmap per (ndim signature): the party-simulation vmap (and any
@@ -235,16 +301,8 @@ def _mm_batched(a, b):
 
 @_mm_batched.def_vmap
 def _mm_batched_rule(axis_size, in_batched, a, b):  # noqa: ANN001
-    a_b, b_b = in_batched
-    if not a_b:
-        a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
-    if not b_b:
-        b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
-    B = a.shape[1]
-    out = _mm_batched(
-        a.reshape((axis_size * B,) + a.shape[2:]),
-        b.reshape((axis_size * B,) + b.shape[2:]),
-    )
+    (a, b), B = _fold_party_axis(axis_size, in_batched, (a, b))
+    out = _mm_batched(a, b)
     return out.reshape((axis_size, B) + out.shape[1:]), True
 
 
@@ -275,9 +333,14 @@ def _acc_kernel(*refs):
     for p in range(n_pairs):
         al, ah, bl, bh = refs[4 * p:4 * p + 4]
         if _PER_LIMB_DOTS:
-            acc_tile_into(acc_ref, al[0], ah[0], bl[0], bh[0], _TN)
+            acc_tile_into(
+                acc_ref, _tile_of(al), _tile_of(ah),
+                _tile_of(bl), _tile_of(bh), _TN
+            )
         else:
-            acc_ref[...] += mm_tile_math(al[0], ah[0], bl[0], bh[0])
+            acc_ref[...] += mm_tile_math(
+                _tile_of(al), _tile_of(ah), _tile_of(bl), _tile_of(bh)
+            )
 
     @pl.when(k == pl.num_programs(3) - 1)
     def _():
@@ -288,29 +351,36 @@ def _acc_kernel(*refs):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mm_planes_acc(*planes, interpret=False):
-    """planes: flat (al, ah, bl, bh) per pair, every pair (B, M, K) x
-    (B, K, N) uint32 planes -> summed (B, M, N) planes, exact mod 2^64."""
+    """planes: flat (al, ah, bl, bh) per pair, every pair (B, M, K)|(M, K)
+    x (B, K, N)|(K, N) uint32 planes -> summed (B, M, N) planes, exact
+    mod 2^64; 2-D operands are shared across the batch (read once from one
+    HBM buffer for all batch/party grid steps)."""
     n_pairs = len(planes) // 4
-    B, M, K = planes[0].shape
+    B = next(p.shape[0] for p in planes if p.ndim == 3)
+    M, K = planes[0].shape[-2:]
     N = planes[2].shape[-1]
     mp = -(-M // _TM) * _TM
     kp = -(-K // _TK) * _TK
     npad = -(-N // _TN) * _TN
     padded = []
+    specs = []
     for p in range(n_pairs):
         al, ah, bl, bh = planes[4 * p:4 * p + 4]
         padded += [
             _pad_to(al, mp, kp), _pad_to(ah, mp, kp),
             _pad_to(bl, kp, npad), _pad_to(bh, kp, npad),
         ]
+        a_spec = _operand_spec(
+            al, (_TM, _TK),
+            lambda b, m, n, k: (b, m, k), lambda b, m, n, k: (m, k),
+        )
+        b_spec = _operand_spec(
+            bl, (_TK, _TN),
+            lambda b, m, n, k: (b, k, n), lambda b, m, n, k: (k, n),
+        )
+        specs += [a_spec, a_spec, b_spec, b_spec]
 
     grid = (B, mp // _TM, npad // _TN, kp // _TK)
-    a_spec = pl.BlockSpec(
-        (1, _TM, _TK), lambda b, m, n, k: (b, m, k), memory_space=pltpu.VMEM
-    )
-    b_spec = pl.BlockSpec(
-        (1, _TK, _TN), lambda b, m, n, k: (b, k, n), memory_space=pltpu.VMEM
-    )
     o_spec = pl.BlockSpec(
         (1, _TM, _TN), lambda b, m, n, k: (b, m, n), memory_space=pltpu.VMEM
     )
@@ -318,7 +388,7 @@ def _mm_planes_acc(*planes, interpret=False):
         ol, oh = pl.pallas_call(
             _acc_kernel,
             grid=grid,
-            in_specs=[a_spec, a_spec, b_spec, b_spec] * n_pairs,
+            in_specs=specs,
             out_specs=(o_spec, o_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((B, mp, npad), jnp.uint32),
@@ -345,7 +415,7 @@ def _acc_batched_fn(n_pairs, interpret):
     the kernel's leading batch grid dimension (same rule as _mm_batched)."""
 
     @jax.custom_batching.custom_vmap
-    def f(*ab):  # (a0, b0, a1, b1, ...) each (B, M, K) / (B, K, N) uint64
+    def f(*ab):  # (a0, b0, ...) each (B, M, K)|(M, K) / (B, K, N)|(K, N)
         planes = []
         for p in range(n_pairs):
             al, ah = up.from_u64(ab[2 * p])
@@ -356,14 +426,7 @@ def _acc_batched_fn(n_pairs, interpret):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, *ab):  # noqa: ANN001
-        ab = list(ab)
-        for i, batched in enumerate(in_batched):
-            if not batched:
-                ab[i] = jnp.broadcast_to(
-                    ab[i][None], (axis_size,) + ab[i].shape
-                )
-        B = ab[0].shape[1]
-        flat = [v.reshape((axis_size * B,) + v.shape[2:]) for v in ab]
+        flat, B = _fold_party_axis(axis_size, in_batched, ab)
         out = f(*flat)
         return out.reshape((axis_size, B) + out.shape[1:]), True
 
@@ -373,7 +436,10 @@ def _acc_batched_fn(n_pairs, interpret):
 def matmul_acc(pairs, interpret=False):
     """sum_p (A_p @ B_p) mod 2^64 in one fused pass. Every pair must share
     the contraction depth K and produce the same (batch, M, N) output;
-    caller guarantees len(pairs) * K < ring.MAX_EXACT_K."""
+    caller guarantees len(pairs) * K < ring.MAX_EXACT_K. Unbatched (2-D)
+    operands — weights, masked tables — are passed to the kernel SHARED:
+    read once from one HBM buffer for every batch/party grid step, instead
+    of materializing broadcast copies."""
     norm = [(jnp.asarray(a), jnp.asarray(b)) for a, b in pairs]
     mkns = {(a.shape[-2], a.shape[-1], b.shape[-1]) for a, b in norm}
     if len(mkns) != 1 or any(a.shape[-1] != b.shape[-2] for a, b in norm):
@@ -386,19 +452,26 @@ def matmul_acc(pairs, interpret=False):
     )
     nb = int(np.prod(batch)) if batch else 1
     flat = []
+    any_batched = False
     for a, b in norm:
-        a = jnp.broadcast_to(a, batch + a.shape[-2:])
-        b = jnp.broadcast_to(b, batch + b.shape[-2:])
-        flat += [
-            a.reshape((nb,) + a.shape[-2:]), b.reshape((nb,) + b.shape[-2:])
-        ]
+        for v in (a, b):
+            if v.ndim == 2 and batch:
+                flat.append(v)  # shared across the batch
+                continue
+            v = jnp.broadcast_to(v, batch + v.shape[-2:])
+            flat.append(v.reshape((nb,) + v.shape[-2:]))
+            any_batched = True
+    if not any_batched:  # all-2D: give the kernel a size-1 batch
+        flat[0] = flat[0][None]
     out = _acc_batched_fn(len(norm), interpret)(*flat)
     return out.reshape(batch + out.shape[-2:])
 
 
 def matmul(a_u64, b_u64):
     """uint64 ring matmul with arbitrary (matching/broadcastable) batch
-    dims, via the fused kernel. Caller guarantees K < ring.MAX_EXACT_K."""
+    dims, via the fused kernel. Caller guarantees K < ring.MAX_EXACT_K.
+    A 2-D operand alongside a batched one stays SHARED (single HBM read,
+    no broadcast copy)."""
     a = jnp.asarray(a_u64)
     b = jnp.asarray(b_u64)
     squeeze_a = a.ndim == 1
@@ -408,12 +481,18 @@ def matmul(a_u64, b_u64):
     if squeeze_b:
         b = b[:, None]
     batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
-    a = jnp.broadcast_to(a, batch + a.shape[-2:])
-    b = jnp.broadcast_to(b, batch + b.shape[-2:])
     nb = int(np.prod(batch)) if batch else 1
-    out = _mm_batched(
-        a.reshape((nb,) + a.shape[-2:]), b.reshape((nb,) + b.shape[-2:])
-    )
+
+    def prep(v):
+        if v.ndim == 2 and batch:
+            return v  # shared
+        v = jnp.broadcast_to(v, batch + v.shape[-2:])
+        return v.reshape((nb,) + v.shape[-2:])
+
+    av, bv = prep(a), prep(b)
+    if av.ndim == 2 and bv.ndim == 2:
+        av = av[None]
+    out = _mm_batched(av, bv)
     out = out.reshape(batch + out.shape[-2:])
     if squeeze_a:
         out = out[..., 0, :]

@@ -207,8 +207,42 @@ def _bulk_rng_impl() -> str:
         return "auto"
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _rbg_fn(shape):
+    """Shape-specialized RngBitGenerator draw with a SOUND vmap rule.
+
+    XLA's own batching for rng_bit_generator does not thread per-lane
+    states, so the rule is written here explicitly: each vmapped lane
+    (= simulated party) gets its own generator op keyed by its own state —
+    an unroll of world_size ops, preserving exact per-lane key dependence
+    (the property PRZS correlation rests on)."""
+    from jax import lax
+
+    @jax.custom_batching.custom_vmap
+    def f(state):  # (2,) uint64 -> uint64[shape]
+        _, bits = lax.rng_bit_generator(
+            state, shape, dtype=jnp.uint64,
+            algorithm=lax.RandomAlgorithm.RNG_DEFAULT,
+        )
+        return bits
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, state):  # noqa: ANN001
+        (sb,) = in_batched
+        if not sb:
+            return f(state), False  # shared state -> shared stream
+        outs = [f(state[i]) for i in range(axis_size)]
+        return jnp.stack(outs), True
+
+    return f
+
+
 def _rbg_bits_u64(key, count, shape):
-    """Uniform uint64 bits via ONE XLA RngBitGenerator op.
+    """Uniform uint64 bits via ONE XLA RngBitGenerator op per draw site
+    (world_size ops under the party vmap — see _rbg_fn).
 
     State = [base key packed to one u64, draw counter]: counter-based PRNGs
     are keyed exactly this way, so the per-draw threefry fold_in disappears
@@ -224,21 +258,18 @@ def _rbg_bits_u64(key, count, shape):
     kd = jax.random.key_data(key).astype(jnp.uint64)  # (2,) values < 2^32
     packed = (kd[0] << jnp.uint64(32)) | kd[1]
     state = jnp.stack([packed, jnp.uint64(count)])
-    from jax import lax
-
-    _, bits = lax.rng_bit_generator(
-        state, shape, dtype=jnp.uint64, algorithm=lax.RandomAlgorithm.RNG_DEFAULT
-    )
-    return bits
+    return _rbg_fn(tuple(shape) if not isinstance(shape, tuple) else shape)(state)
 
 
 def _use_rbg() -> bool:
-    # even an explicit "rbg" request is honored ONLY under shard_map:
-    # RngBitGenerator's vmap batching rule does not thread per-lane keys,
-    # which would silently break the PRZS correlation under the simulated
-    # -party (vmap) runtime
+    # "auto" selects rbg under shard_map (where per-party keys are
+    # structural); explicit "rbg" additionally covers the vmap runtime via
+    # _rbg_fn's hand-written per-lane batching rule (XLA's own rule would
+    # silently break PRZS, so it is never relied on)
     impl = _bulk_rng_impl()
-    return impl in ("rbg", "auto") and comm.get_runtime() == "shard_map"
+    if impl == "rbg":
+        return True
+    return impl == "auto" and comm.get_runtime() == "shard_map"
 
 
 def _bits_u64(key, shape):

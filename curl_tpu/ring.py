@@ -261,12 +261,6 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     if b.ndim == 1:
         b = b[:, None]
         squeeze_b = True
-    # broadcast batch dims
-    batch_a, batch_b = a.shape[:-2], b.shape[:-2]
-    batch = jnp.broadcast_shapes(batch_a, batch_b)
-    a = jnp.broadcast_to(a, batch + a.shape[-2:])
-    b = jnp.broadcast_to(b, batch + b.shape[-2:])
-
     M, K = a.shape[-2], a.shape[-1]
     K2, N = b.shape[-2], b.shape[-1]
     assert K == K2, f"matmul inner dims mismatch {K} vs {K2}"
@@ -281,8 +275,13 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     if _pallas_mm_enabled(M, K, N):
         from .ops import pallas_ring_mm
 
+        # NOT pre-broadcast: the kernel wrapper keeps 2-D operands SHARED
+        # across the batch (one HBM read instead of per-batch/party copies)
         out = pallas_ring_mm.matmul(a, b)
     else:
+        batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+        a = jnp.broadcast_to(a, batch + a.shape[-2:])
+        b = jnp.broadcast_to(b, batch + b.shape[-2:])
         out = _xla_matmul(a, b)
     if squeeze_a:
         out = out[..., 0, :]

@@ -41,6 +41,14 @@ LOOP = int(os.environ.get("LOOP", "1"))
 _LOOP_FORK_BASE = 29 << 20  # distinct from block/fold/seq fork salt ranges
 
 
+def _jnp_u64(rng, shape):
+    import jax.numpy as _jnp
+
+    return _jnp.asarray(
+        rng.integers(0, 1 << 63, size=shape, dtype=np.uint64)
+    )
+
+
 def _looped(f, n: int):
     """Wrap a stage fn so ONE compiled program runs it n times with fresh
     protocol randomness per iteration (masks are not elidable), carrying a
@@ -323,6 +331,63 @@ def main():
 
         step = lambda key, x, y: f(x, y)  # noqa: E731
         _time("mm_big_pub", step, am, bm, sync=sync, results=results)
+
+    # ---- embed sub-stage isolation: the one-hot construction + rotation
+    # gather vs the (N, V) @ (V, D) ring matmul against the table
+    if want("embed_onehot"):
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from curl_tpu import ring as _ring
+        from curl_tpu import random as _crng
+
+        N = BATCH * SEQ
+
+        @_jax.jit
+        def f(key):
+            with _crng.KeyContext(
+                {"local": key, "prev": key, "next": key, "global": key}
+            ):
+                r = _crng.random_ring((N,), "local")
+                rc = _jnp.mod(_ring.to_signed(r), _jnp.int64(V))
+                onehot = (
+                    rc[:, None] == _jnp.arange(V, dtype=_jnp.int64)
+                ).astype(_jnp.uint64)
+                przs = _crng.random_ring((N, V), "prev")
+                share = przs + onehot
+                shift = _crng.random_ring((N,), "next")
+                shift = _jnp.mod(_ring.to_signed(shift), _jnp.int64(V)).astype(
+                    _jnp.int32
+                )
+                j = _jnp.arange(V, dtype=_jnp.int32)[None, :]
+                idx = _jnp.mod(j - shift[:, None], V)
+                rotated = _jnp.take_along_axis(share, idx, axis=1)
+            return rotated
+
+        step = lambda key: f(key)  # noqa: E731
+        _time("embed_onehot", step, sync=sync, results=results)
+
+    if want("embed_mm"):
+        # the 3-product protocol matmul at embed shapes: (N, V) @ (V, D),
+        # K = V too deep for one fused acc pass -> three kernel matmuls
+        import jax as _jax
+
+        from curl_tpu import ring as _ring
+
+        N = BATCH * SEQ
+        lhs = [
+            _jnp_u64(rng, (N, V)) for _ in range(3)
+        ]
+        rhs = [
+            _jnp_u64(rng, (V, D)) for _ in range(3)
+        ]
+
+        @_jax.jit
+        def f3(ls, rs):
+            return _ring.matmul_acc(list(zip(ls, rs)))
+
+        step = lambda key: f3(lhs, rhs)  # noqa: E731
+        _time("embed_mm", step, sync=sync, results=results)
 
     if want("rng_big"):
         # bulk protocol randomness at the weight-mask shape (D, V)

@@ -138,3 +138,68 @@ def test_ring_matmul_acc_fallback():
     ref = ring.matmul(a1, b1) + ring.matmul(a2, b2)
     got = ring.matmul_acc([(a1, b1), (a2, b2)])
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_shared_operand_paths():
+    """2-D operands stay SHARED through the kernel (no broadcast copy):
+    host-batched a x 2-D b, vmap over party with in_axes=None weights, and
+    the acc kernel with per-pair shared tables."""
+    import jax
+
+    rng = np.random.default_rng(31)
+    a3 = rand_u64(rng, (3, 8, 96))
+    w2 = rand_u64(rng, (96, 40))
+    ref = ring._xla_matmul(
+        a3, jnp.broadcast_to(w2, (3,) + w2.shape)
+    )
+    orig = pmm.matmul_3d
+    pmm_interp = lambda x, y: orig(x, y, interpret=True)  # noqa: E731
+    try:
+        pmm.matmul_3d = pmm_interp
+        got = pmm.matmul(a3, w2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        # vmap over a party axis with a shared (in_axes=None) weight
+        a_p = rand_u64(rng, (2, 8, 96))  # per-party activations
+        got_v = jax.vmap(lambda x: pmm.matmul(x, w2))(a_p)
+        ref_v = ring._xla_matmul(a_p, jnp.broadcast_to(w2, (2,) + w2.shape))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+        # per-party 2-D activations x host-batched other side (batched 3-D
+        # under vmap rule)
+        b_h = rand_u64(rng, (3, 96, 24))
+        got_m = jax.vmap(lambda x: pmm.matmul(x[0], b_h))(a_p[:, None])
+        ref_m = np.stack([
+            np.asarray(ring._xla_matmul(
+                jnp.broadcast_to(a_p[i], (3,) + a_p[i].shape[-2:]), b_h))
+            for i in range(2)
+        ])
+        np.testing.assert_array_equal(np.asarray(got_m), ref_m)
+    finally:
+        pmm.matmul_3d = orig
+
+    # acc kernel: batched eps/x lhs against SHARED 2-D tables
+    lhs = [rand_u64(rng, (4, 6, 50)) for _ in range(3)]
+    tbl = [rand_u64(rng, (50, 12)) for _ in range(3)]
+    got = pmm.matmul_acc(list(zip(lhs, tbl)), interpret=True)
+    ref = None
+    for a, b in zip(lhs, tbl):
+        r = ring._xla_matmul(a, jnp.broadcast_to(b, (4,) + b.shape))
+        ref = r if ref is None else ref + r
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # acc kernel under party vmap: shared tables + per-party lhs
+    import jax
+
+    lhs_p = [rand_u64(rng, (2, 6, 50)) for _ in range(2)]
+    tbl_p = [rand_u64(rng, (50, 12)) for _ in range(2)]
+    got_v = jax.vmap(
+        lambda l0, l1: pmm.matmul_acc(
+            [(l0, tbl_p[0]), (l1, tbl_p[1])], interpret=True
+        )
+    )(lhs_p[0], lhs_p[1])
+    ref_v = None
+    for lp, b in zip(lhs_p, tbl_p):
+        r = ring._xla_matmul(lp, jnp.broadcast_to(b, (2,) + b.shape))
+        ref_v = r if ref_v is None else ref_v + r
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))

@@ -100,10 +100,37 @@ def test_rbg_przs_telescopes_and_is_deterministic():
                 c = rng.random_ring((5, 5), count=100)
             assert (np.asarray(a) == np.asarray(b)).all()
             assert (np.asarray(a) != np.asarray(c)).any()
-            # one rbg draw really was used (vs the threefry fallback)
-            with rng.KeyContext(jax.tree.map(lambda a: a[0], keys)):
-                comm.set_runtime("vmap")
-                tf = rng.random_ring((5, 5), count=99)
+            # one rbg draw really was used (vs the threefry path)
+            with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "xla"}):
+                with rng.KeyContext(jax.tree.map(lambda a: a[0], keys)):
+                    tf = rng.random_ring((5, 5), count=99)
             assert (np.asarray(a) != np.asarray(tf)).any()
         finally:
             comm.set_runtime(old_rt)
+
+
+def test_rbg_explicit_under_vmap_runtime():
+    """Explicit bulk_rng='rbg' is sound under the party vmap too: _rbg_fn's
+    hand-written batching rule unrolls per-lane generator states (XLA's own
+    rule would collapse them). PRZS must telescope and a private matmul
+    must decode correctly."""
+    from curl_tpu.parallel import runner
+
+    def przs_prog():
+        return rng.przs_arithmetic((8, 16))
+
+    with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "rbg"}):
+        out = runner.run_parties(przs_prog, 3, 7, jit=True)
+    total = np.asarray(out[0] + out[1] + out[2])
+    assert (total == 0).all()
+
+    x = np.random.default_rng(0).normal(size=(4, 6))
+    w = np.random.default_rng(1).normal(size=(6, 5))
+    xe = curl_tpu.cryptensor(x)
+    we = curl_tpu.cryptensor(w)
+    with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "rbg"}):
+        step = curl_tpu.compile_parties(lambda a, b: a.matmul(b), 2)
+        out = step(jax.random.PRNGKey(5), xe.mpc, we.mpc)
+    share = np.asarray(out.share)
+    dec = (share[0] + share[1]).view(np.int64).astype(np.float64) / (1 << 16)
+    assert np.abs(dec - x @ w).max() < 0.01
