@@ -183,7 +183,7 @@ def mask_operand(y: ArithmeticSharedTensor):
         or cfg.mpc.active_security
     ):
         return y
-    b = rng.random_ring(y.shape, "local")
+    b = rng.random_ring(y.shape, rng.dealer_stream())
     b_share = rng.przs_arithmetic(y.shape)
     if comm.get_world_size() > 1:
         mask = (comm.rank_signed() == 0).astype(jnp.uint64)
@@ -197,7 +197,7 @@ def mask_operand(y: ArithmeticSharedTensor):
 def _masked_protocol(op, x, y: MaskedArithmetic, **kwargs):
     """One product against a pre-masked operand: fresh input-sized a only."""
     ring_op = _RING_OPS[op]
-    a = rng.random_ring(x.shape, "local")
+    a = rng.random_ring(x.shape, rng.dealer_stream())
     if op == "matmul" and x.ndim >= 2 and y.ndim >= 2:
         # all three products — the dealer product a@b_plain (rank-0 masked
         # on the LEFT operand: mask*(a@b) == (mask*a)@b), eps@b_share, and
@@ -420,7 +420,7 @@ def _rotated_onehot_fast(x_flat, size: int):
     from ... import random as rng_mod
 
     # same draw pattern as the tuple dealer (accounting + stream parity)
-    r = rng_mod.random_ring(x_flat.shape, "local")
+    r = rng_mod.random_ring(x_flat.shape, rng_mod.dealer_stream())
     r_clear = jnp.mod(ring.to_signed(r), jnp.int64(size))
     r_share = rng_mod.przs_arithmetic(x_flat.shape)
     if comm.get_world_size() > 1:
@@ -526,7 +526,7 @@ def _chunked_lut_sum(x_flat, luts_rows, size: int):
     n_pad = n_chunks * chunk
 
     # draw r exactly as generate_one_hot does, reveal shift in ONE round
-    r = rng_mod.random_ring((n,), "local")
+    r = rng_mod.random_ring((n,), rng_mod.dealer_stream())
     r_clear = jnp.mod(ring.to_signed(r), jnp.int64(size))
     r_share = rng_mod.przs_arithmetic((n,))
     if comm.get_world_size() > 1:

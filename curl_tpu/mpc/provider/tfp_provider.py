@@ -50,8 +50,8 @@ class TrustedFirstParty(TupleProvider):
 
     def generate_additive_triple(self, size0, size1, op, **kwargs):
         """Beaver triple (a, b, c=op(a,b)) (tfp_provider.py:20-31)."""
-        a = rng.random_ring(size0, "local")
-        b = rng.random_ring(size1, "local")
+        a = rng.random_ring(size0, rng.dealer_stream())
+        b = rng.random_ring(size1, rng.dealer_stream())
         from ..primitives.beaver import _RING_OPS
 
         c = _RING_OPS[op](a, b, **kwargs)
@@ -62,13 +62,13 @@ class TrustedFirstParty(TupleProvider):
         )
 
     def square(self, size):
-        r = rng.random_ring(size, "local")
+        r = rng.random_ring(size, rng.dealer_stream())
         r2 = r * r
         return _share_from_local(r), _share_from_local(r2)
 
     def generate_binary_triple(self, size0, size1):
-        a = rng.random_kbit(size0, 64, "local")
-        b = rng.random_kbit(size1, 64, "local")
+        a = rng.random_kbit(size0, 64, rng.dealer_stream())
+        b = rng.random_kbit(size1, 64, rng.dealer_stream())
         c = a & b
         shape = np.broadcast_shapes(tuple(size0), tuple(size1))
         a = jnp.broadcast_to(a, shape)
@@ -85,7 +85,7 @@ class TrustedFirstParty(TupleProvider):
         (tfp_provider.py:55-68). Party 0 draws all P share planes, counts
         wraps, and scatters plane i to party i."""
         n = comm.get_world_size()
-        planes = jnp.stack([rng.random_ring(size, "local") for _ in range(n)], 0)
+        planes = jnp.stack([rng.random_ring(size, rng.dealer_stream()) for _ in range(n)], 0)
         theta_r = ring.count_wraps(planes)
         # scatter plane i to party i (only rank 0's draw is meaningful)
         my_plane = comm.scatter(planes, src=0)
@@ -93,12 +93,12 @@ class TrustedFirstParty(TupleProvider):
         return r, _share_from_local(theta_r)
 
     def B2A_rng(self, size):
-        r = rng.random_kbit(size, 1, "local")
+        r = rng.random_kbit(size, 1, rng.dealer_stream())
         return _share_from_local(r), _bshare_from_local(r)
 
     def generate_one_hot(self, tensor_size, lut_size: int):
         """r mod L and its one-hot row per element (tfp_provider.py:80-92)."""
-        r = rng.random_ring(tensor_size, "local")
+        r = rng.random_ring(tensor_size, rng.dealer_stream())
         r_clear = jnp.mod(ring.to_signed(r), jnp.int64(lut_size))
         grid = jnp.arange(lut_size, dtype=jnp.int64)
         one_hot = (r_clear[..., None] == grid).astype(jnp.uint64)
@@ -120,7 +120,7 @@ class TrustedFirstParty(TupleProvider):
         tuple for rank 0 only. r_clear is each party's LOCAL draw — only
         rank 0's enters the share sum, and only rank 0 applies the gather.
         """
-        r = rng.random_ring(tensor_size, "local")
+        r = rng.random_ring(tensor_size, rng.dealer_stream())
         r_clear = jnp.mod(ring.to_signed(r), jnp.int64(lut_size))
         r_shares = _share_from_local(r_clear.view(jnp.uint64))
         masks = jnp.stack(
@@ -130,9 +130,9 @@ class TrustedFirstParty(TupleProvider):
 
     def egk_trunc_pr_rng(self, size, l: int, m: int):
         """(r, r', b) randomness for EGK truncation (tfp_provider.py:94)."""
-        r = rng.random_kbit(size, l - m, "local")
-        r_p = rng.random_kbit(size, m, "local")
-        b = rng.random_kbit(size, 1, "local")
+        r = rng.random_kbit(size, l - m, rng.dealer_stream())
+        r_p = rng.random_kbit(size, m, rng.dealer_stream())
+        b = rng.random_kbit(size, 1, rng.dealer_stream())
         return (
             _share_from_local(r),
             _share_from_local(r_p),

@@ -104,7 +104,7 @@ def run_parties(fn, world_size: int, seed, *args, jit: bool = False):
     args: pytrees whose leaves are stacked (P, ...) per-party values, or
     ``Public(x)`` for unreplicated public values. Returns stacked outputs.
     """
-    keys = rng.make_party_keys(seed, world_size)
+    keys = rng.make_party_keys(seed, world_size, stacked=False)
     vals, in_axes = _split_args(args)
 
     def party_fn(party_keys, *inner):
@@ -112,7 +112,8 @@ def run_parties(fn, world_size: int, seed, *args, jit: bool = False):
             return fn(*inner)
 
     mapped = jax.vmap(
-        party_fn, in_axes=(0,) + tuple(in_axes), axis_name=comm.PARTY_AXIS
+        party_fn, in_axes=(rng.KEY_AXES,) + tuple(in_axes),
+        axis_name=comm.PARTY_AXIS,
     )
     if jit:
         mapped = jax.jit(mapped)
@@ -127,7 +128,7 @@ def compile_parties(fn, world_size: int, jit: bool = True):
     """
 
     def wrapper(seed, *args):
-        keys = rng.make_party_keys(seed, world_size)
+        keys = rng.make_party_keys(seed, world_size, stacked=False)
         vals, in_axes = _split_args(args)
 
         def party_fn(party_keys, *inner):
@@ -135,7 +136,8 @@ def compile_parties(fn, world_size: int, jit: bool = True):
                 return fn(*inner)
 
         return jax.vmap(
-            party_fn, in_axes=(0,) + tuple(in_axes), axis_name=comm.PARTY_AXIS
+            party_fn, in_axes=(rng.KEY_AXES,) + tuple(in_axes),
+            axis_name=comm.PARTY_AXIS,
         )(keys, *vals)
 
     return jax.jit(wrapper) if jit else wrapper
@@ -174,14 +176,16 @@ def compile_parties_cached(fn, world_size: int, seed, *args):
 
     # 2. offline program: generate all recorded tuples
     def offline(s):
-        keys = rng.make_party_keys(s, world_size)
+        keys = rng.make_party_keys(s, world_size, stacked=False)
 
         def party_fn(party_keys):
             with mpc_context(party_keys, world_size):
                 provider.requests = requests
                 return provider.fill_cache_entries()
 
-        return jax.vmap(party_fn, axis_name=comm.PARTY_AXIS)(keys)
+        return jax.vmap(
+            party_fn, in_axes=(rng.KEY_AXES,), axis_name=comm.PARTY_AXIS
+        )(keys)
 
     fill_offline = jax.jit(offline)
 
@@ -189,7 +193,7 @@ def compile_parties_cached(fn, world_size: int, seed, *args):
     def online(s, cache_entries, *online_args):
         from ..mpc.provider.provider import TupleCache
 
-        keys = rng.make_party_keys(s, world_size)
+        keys = rng.make_party_keys(s, world_size, stacked=False)
         vals, in_axes = _split_args(online_args)
 
         def party_fn(party_keys, entries, *inner):
@@ -201,10 +205,26 @@ def compile_parties_cached(fn, world_size: int, seed, *args):
                     provider.attach_serving_cache(None)
 
         return jax.vmap(
-            party_fn, in_axes=(0, 0) + tuple(in_axes), axis_name=comm.PARTY_AXIS
+            party_fn, in_axes=(rng.KEY_AXES, 0) + tuple(in_axes),
+            axis_name=comm.PARTY_AXIS,
         )(keys, cache_entries, *vals)
 
     return jax.jit(online), fill_offline
+
+
+def _key_axes_for(keys):
+    """vmap in_axes for a party-keys pytree: per-leaf KEY_AXES when the
+    party-invariant global/dealer keys are UNSTACKED (one ndim below the
+    per-party streams), plain 0 for the fully stacked form."""
+    if (
+        isinstance(keys, dict)
+        and "global" in keys
+        and "local" in keys
+        and getattr(keys["global"], "ndim", None) is not None
+        and keys["global"].ndim == keys["local"].ndim - 1
+    ):
+        return {k: rng.KEY_AXES.get(k, 0) for k in keys}
+    return 0
 
 
 def _run_with_keys(fn, world_size, keys, args):
@@ -215,7 +235,8 @@ def _run_with_keys(fn, world_size, keys, args):
             return fn(*inner)
 
     return jax.vmap(
-        party_fn, in_axes=(0,) + tuple(in_axes), axis_name=comm.PARTY_AXIS
+        party_fn, in_axes=(_key_axes_for(keys),) + tuple(in_axes),
+        axis_name=comm.PARTY_AXIS,
     )(keys, *vals)
 
 

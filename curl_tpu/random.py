@@ -103,12 +103,26 @@ def _prng_impl() -> str:
         return "threefry2x32"
 
 
-def make_party_keys(seed, world_size: int) -> dict:
+# vmap in_axes for a party-keys pytree: per-party streams carry the party
+# axis; "global"/"dealer" are party-INVARIANT and (in unstacked form) pass
+# through vmap unbatched — so a tuple-plaintext draw from the dealer
+# stream is generated ONCE per program instead of once per lane.
+KEY_AXES = {
+    "next": 0, "prev": 0, "local": 0, "ttp": 0, "global": None, "dealer": None,
+}
+
+
+def make_party_keys(seed, world_size: int, stacked: bool = True) -> dict:
     """Build stacked (P, ...) key pytree with the ring-correlation invariant.
 
     Host-side analogue of the reference's seed ring-exchange
     (curl/__init__.py:225-267); on a real multi-host deployment the same
     structure can be built with one ppermute at init (sync_keys_ppermute).
+
+    ``stacked=False`` leaves the party-invariant "global"/"dealer" keys
+    UNSTACKED (no leading P axis) for use with ``KEY_AXES`` as vmap
+    in_axes: shared-stream draws then trace as unbatched ops, generated
+    once per program instead of once per party lane.
     """
     if isinstance(seed, int):
         base = jax.random.key(seed, impl=_prng_impl())
@@ -118,16 +132,25 @@ def make_party_keys(seed, world_size: int) -> dict:
     ring = jax.random.split(k_ring, world_size)        # ring[i]: shared by (i, i+1)
     local = jax.random.split(k_local, world_size)
     ttp = jax.random.split(k_ttp, world_size)
-    return {
+    keys = {
         # party i's "next" stream is shared with party i+1's "prev" stream
         "next": ring,
         "prev": jnp.roll(ring, 1, axis=0),
         "local": local,
-        "global": jnp.broadcast_to(k_global, (world_size,) + k_global.shape),
         # TTP provider streams: per-party dealer-shared + the dealer's own
         "ttp": ttp,
-        "dealer": jnp.broadcast_to(k_dealer, (world_size,) + k_dealer.shape),
     }
+    if stacked:
+        keys["global"] = jnp.broadcast_to(
+            k_global, (world_size,) + k_global.shape
+        )
+        keys["dealer"] = jnp.broadcast_to(
+            k_dealer, (world_size,) + k_dealer.shape
+        )
+    else:
+        keys["global"] = k_global
+        keys["dealer"] = k_dealer
+    return keys
 
 
 def sync_keys_ppermute(seed_local):
@@ -298,6 +321,23 @@ def _draw_bits(generator: str, count, shape):
     if _use_rbg():
         return _rbg_bits_u64(current_keys()[generator], count, shape)
     return _bits_u64(jax.random.fold_in(current_keys()[generator], count), shape)
+
+
+def dealer_stream() -> str:
+    """Stream for TUPLE PLAINTEXTS (Beaver a/b, square r, one-hot r, EGK
+    randomness — the values a TFP dealer knows, of which only rank 0's
+    draw enters any share sum).
+
+    Under the vmap simulated runtime the party lanes share one program, so
+    drawing these from the party-invariant "dealer" stream (unbatched
+    through vmap — see KEY_AXES) generates each value ONCE instead of
+    once per lane; the non-rank-0 copies were computed and discarded
+    before (the reference does the same wasted work per process,
+    tfp_provider.py:20-31 with the per-party "local" generator). Under
+    shard_map (real party separation) the per-party "local" stream is
+    kept: a shared dealer stream there would hand every party the tuple
+    plaintexts."""
+    return "dealer" if comm.get_runtime() == "vmap" else "local"
 
 
 def random_ring(shape, generator: str = "local", count: Optional[int] = None):

@@ -196,6 +196,83 @@ def main():
             rng0.integers(0, 1 << 40, (2, M, V), dtype=np.uint64))
         timeit("trunc_out", make, zs2)
 
+    if want("mpc_mm"):
+        # ablation: MPCTensor.matmul (protocol + rescale + autograd
+        # dispatch) through the same direct vmap wiring as mm_norescale
+        from curl_tpu.mpc.mpc import MPCTensor
+        from curl_tpu.mpc.primitives.arithmetic import ArithmeticSharedTensor
+        from curl_tpu.encoder import FixedPointEncoder
+
+        def make():
+            def body(i, xs, ws):
+                def party_fn(xsh, wsh):
+                    comm.set_runtime("vmap")
+                    xt = MPCTensor(
+                        ArithmeticSharedTensor(xsh, FixedPointEncoder(16)))
+                    wt = MPCTensor(
+                        ArithmeticSharedTensor(wsh, FixedPointEncoder(16)))
+                    return xt.matmul(wt).share
+
+                return jax.vmap(party_fn, axis_name=comm.PARTY_AXIS)(xs, ws)
+
+            return body
+
+        xs3 = jnp.asarray(
+            rng0.integers(0, 1 << 63, (2, M, K), dtype=np.uint64))
+        ws3 = jnp.asarray(
+            rng0.integers(0, 1 << 63, (2, K, V), dtype=np.uint64))
+        timeit("mpc_mm", make, xs3, ws3)
+
+    if want("mpc_mm_partykeys"):
+        # same as mpc_mm but with PROPER per-lane party keys (the
+        # compile_parties wiring): quantifies the per-lane tuple-RNG
+        # duplication vs the shared-key probe distortion
+        from curl_tpu.mpc.mpc import MPCTensor
+        from curl_tpu.mpc.primitives.arithmetic import ArithmeticSharedTensor
+        from curl_tpu.encoder import FixedPointEncoder
+        from curl_tpu.parallel.runner import mpc_context
+
+        keys = crng.make_party_keys(11, 2)
+
+        @jax.jit
+        def prog(kys, xs, ws):
+            def party_fn(pk, xsh, wsh):
+                with mpc_context(pk, 2):
+                    def step(acc, i):
+                        with crng.fork(i):
+                            xt = MPCTensor(ArithmeticSharedTensor(
+                                xsh, FixedPointEncoder(16)))
+                            wt = MPCTensor(ArithmeticSharedTensor(
+                                wsh, FixedPointEncoder(16)))
+                            out = xt.matmul(wt).share
+                        return acc + out.reshape(-1)[:8].sum(), None
+
+                    acc, _ = lax.scan(
+                        step, jnp.zeros((), jnp.uint64), jnp.arange(LOOP))
+                return acc
+
+            return jax.vmap(
+                party_fn, in_axes=(0, 0, 0), axis_name=comm.PARTY_AXIS
+            )(kys, xs, ws)
+
+        xs4 = jnp.asarray(
+            rng0.integers(0, 1 << 63, (2, M, K), dtype=np.uint64))
+        ws4 = jnp.asarray(
+            rng0.integers(0, 1 << 63, (2, K, V), dtype=np.uint64))
+        t0 = time.time()
+        np.asarray(jax.device_get(prog(keys, xs4, ws4)))
+        compile_s = time.time() - t0
+        times = []
+        for i in range(REPS):
+            t0 = time.time()
+            np.asarray(jax.device_get(prog(keys, xs4, ws4)))
+            times.append((time.time() - t0) / LOOP)
+        rec = {"stage": "mpc_mm_partykeys",
+               "latency_sec": round(min(times), 5),
+               "compile_sec": round(compile_s, 1), "loop": LOOP}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
     if want("beaver_mm_full"):
         # reference point: the full private matmul via compile_parties
         x = rng0.normal(size=(M, K))
