@@ -60,6 +60,17 @@ def reset_count():
         _counter = itertools.count()
 
 
+def _is_key_vector(k) -> bool:
+    """True iff ``k`` is a VECTOR of PRNG keys (e.g. the (ws,) ring_all
+    entry), for typed keys (new-style, dtype prng_key: any ndim >= 1) and
+    legacy raw keys (uint32 key data: a single key is (2,), a vector is
+    (ws, 2))."""
+    dt = getattr(k, "dtype", None)
+    if dt is not None and jnp.issubdtype(dt, jax.dtypes.prng_key):
+        return k.ndim >= 1
+    return getattr(k, "ndim", 0) >= 2
+
+
 class KeyContext:
     """Binds a party's generator keys for the duration of a protocol trace."""
 
@@ -107,8 +118,12 @@ def _prng_impl() -> str:
 # axis; "global"/"dealer" are party-INVARIANT and (in unstacked form) pass
 # through vmap unbatched — so a tuple-plaintext draw from the dealer
 # stream is generated ONCE per program instead of once per lane.
+# "ring_all" is the full (ws,) ring-key vector, also unbatched: PRZS draws
+# each ring stream ONCE per program instead of twice (party p's "next"
+# stream is party p+1's "prev" stream — per-lane draws duplicate it).
 KEY_AXES = {
-    "next": 0, "prev": 0, "local": 0, "ttp": 0, "global": None, "dealer": None,
+    "next": 0, "prev": 0, "local": 0, "ttp": 0, "global": None,
+    "dealer": None, "ring_all": None,
 }
 
 
@@ -150,6 +165,9 @@ def make_party_keys(seed, world_size: int, stacked: bool = True) -> dict:
     else:
         keys["global"] = k_global
         keys["dealer"] = k_dealer
+        # full ring-key vector, shared (unbatched) across lanes: lets PRZS
+        # draw each ring stream once per program (_ring_all_streams)
+        keys["ring_all"] = ring
     return keys
 
 
@@ -179,10 +197,13 @@ def fork(i):
     iterations, leaking differences of masked values.
     """
     keys = current_keys()
-    forked = {
-        name: jax.random.fold_in(k, i) if name != "__dummy__" else k
-        for name, k in keys.items()
-    }
+
+    def _fold(k):
+        if _is_key_vector(k):  # (ws,) key vectors (ring_all)
+            return jax.vmap(lambda kk: jax.random.fold_in(kk, i))(k)
+        return jax.random.fold_in(k, i)
+
+    forked = {name: _fold(k) for name, k in keys.items()}
     with KeyContext(forked):
         yield
 
@@ -278,7 +299,10 @@ def _rbg_bits_u64(key, count, shape):
     Philox-counter-based, reference curl/__init__.py:169-204): a
     counter-based statistical PRNG keyed per draw.
     """
-    kd = jax.random.key_data(key).astype(jnp.uint64)  # (2,) values < 2^32
+    if jnp.issubdtype(getattr(key, "dtype", None), jax.dtypes.prng_key):
+        kd = jax.random.key_data(key).astype(jnp.uint64)  # (2,) < 2^32
+    else:  # legacy raw (2,) uint32 key
+        kd = jnp.asarray(key).astype(jnp.uint64)
     packed = (kd[0] << jnp.uint64(32)) | kd[1]
     state = jnp.stack([packed, jnp.uint64(count)])
     return _rbg_fn(tuple(shape) if not isinstance(shape, tuple) else shape)(state)
@@ -359,6 +383,41 @@ def random_kbit(
     return bits >> jnp.uint64(64 - bitlength)
 
 
+# PRZS ring-bulk path below this many elements stays on the per-lane
+# draws (the (ws,)+shape stack + per-lane gather isn't worth it for tiny
+# masks).
+_RING_BULK_MIN_ELEMENTS = 1 << 16
+
+
+def _ring_all_streams(shape, c):
+    """Draw ALL ws ring streams once (unbatched under vmap) -> (ws,)+shape,
+    or None when the bulk path doesn't apply.
+
+    Per-lane PRZS draws each ring stream twice (party p's "next" is party
+    p+1's "prev"); with the unstacked "ring_all" key vector the ws streams
+    are generated once per program and each lane gathers its two. The
+    derived keys and bit streams are IDENTICAL to the per-lane path
+    (same fold_in(ring[i], c) chain), so shares are bit-equal either way.
+    """
+    import numpy as np
+
+    keys = getattr(_ctx, "keys", None)
+    if keys is None or "ring_all" not in keys:
+        return None
+    if comm.get_runtime() != "vmap":
+        return None
+    n = int(np.prod(shape)) if shape else 1
+    if n < _RING_BULK_MIN_ELEMENTS:
+        return None
+    ra = keys["ring_all"]
+    ws = ra.shape[0]
+    if _use_rbg():  # keep bit-identity with the per-lane rbg chain
+        return jnp.stack([_rbg_bits_u64(ra[i], c, shape) for i in range(ws)])
+    return jnp.stack(
+        [_bits_u64(jax.random.fold_in(ra[i], c), shape) for i in range(ws)]
+    )
+
+
 def przs_arithmetic(shape):
     """Pseudo-random sharing of zero: prev-stream draw minus next-stream draw.
 
@@ -368,6 +427,13 @@ def przs_arithmetic(shape):
     so their counter sequences agree).
     """
     c = _next_count()
+    streams = _ring_all_streams(shape, c)
+    if streams is not None:
+        ws = streams.shape[0]
+        r = comm.rank_signed()
+        prev_s = jnp.take(streams, (r - 1) % ws, axis=0)
+        next_s = jnp.take(streams, r % ws, axis=0)
+        return prev_s - next_s
     cur = random_ring(shape, "prev", c)
     nxt = random_ring(shape, "next", c)
     return cur - nxt
@@ -376,6 +442,15 @@ def przs_arithmetic(shape):
 def przs_binary(shape, bits: int = 64):
     """XOR-PRZS for binary shares (reference: binary.py:112-133)."""
     c = _next_count()
+    streams = _ring_all_streams(shape, c)
+    if streams is not None:
+        if bits < 64:
+            streams = streams >> jnp.uint64(64 - bits)
+        ws = streams.shape[0]
+        r = comm.rank_signed()
+        prev_s = jnp.take(streams, (r - 1) % ws, axis=0)
+        next_s = jnp.take(streams, r % ws, axis=0)
+        return prev_s ^ next_s
     cur = random_kbit(shape, bits, "prev", c)
     nxt = random_kbit(shape, bits, "next", c)
     return cur ^ nxt
