@@ -42,7 +42,8 @@ def lowered_size(bulk_rng):
 
 
 def main():
-    for mode in ("xla", "pallas_tpu"):
+    modes = os.environ.get("MODES", "xla,pallas_tpu,rbg").split(",")
+    for mode in modes:
         nbytes, nlines, trace_t = lowered_size(mode)
         print(
             f"bulk_rng={mode:<11} stablehlo: {nbytes/1e6:8.2f} MB, "
