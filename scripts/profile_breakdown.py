@@ -63,8 +63,15 @@ def _looped(f, n: int):
         def body(acc, i):
             with crng.fork(i + _LOOP_FORK_BASE):
                 out = f(*args)
-            sh = out.share if hasattr(out, "share") else jax.tree_util.tree_leaves(out)[0]
-            return acc + sh.sum(), None
+            # checksum EVERY output leaf: a partial checksum lets XLA
+            # dead-code-eliminate the unchecked outputs' computation
+            # (observed: triple_big timing only its first component)
+            leaves = [out.share] if hasattr(out, "share") else \
+                jax.tree_util.tree_leaves(out)
+            s = jnp.zeros((), jnp.uint64)
+            for sh in leaves:
+                s = s + sh.sum().astype(jnp.uint64)
+            return acc + s, None
 
         acc, _ = lax.scan(body, jnp.zeros((), jnp.uint64), jnp.arange(n))
         with crng.fork(_LOOP_FORK_BASE + n + 1):
@@ -405,9 +412,71 @@ def main():
         step = lambda key: f(key)  # noqa: E731
         _time("rng_big", step, sync=sync, results=results)
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                            "benchmarks", "results",
-                            f"breakdown_seq{SEQ}_b{BATCH}.json")
+    # ---- mm_big decomposition: where do the ~80 ms of Beaver wrapper
+    # overhead (mm_big - mm_big_pub) actually live?
+    if want("przs_big"):
+        # one full PRZS share at the weight shape (what _share_from_local
+        # pays per tuple component)
+        def f():
+            from curl_tpu import random as _crng
+
+            return _crng.przs_arithmetic((D, V))
+
+        step = curl_tpu.compile_parties(f, 2)
+        _time("przs_big", step, sync=sync, results=results)
+
+    if want("triple_big"):
+        # full TFP triple generation at the lm_head matmul shapes:
+        # dealer draws a, b + ring matmul c = a@b + 3x PRZS sharing
+        def f():
+            from curl_tpu.mpc import get_default_provider
+
+            a, b, c = get_default_provider().generate_additive_triple(
+                (BATCH * SEQ, D), (D, V), "matmul"
+            )
+            return a.share, b.share, c.share
+
+        step = curl_tpu.compile_parties(f, 2)
+        _time("triple_big", step, sync=sync, results=results)
+
+    if want("trunc_big"):
+        # the product rescale at the lm_head OUTPUT shape (the step that
+        # follows the Beaver matmul inside .matmul)
+        x = rng.normal(size=(BATCH * SEQ, V))
+        xe = curl_tpu.cryptensor(x)
+
+        def f(xm):
+            from curl_tpu.config import cfg as _cfg
+
+            if _cfg.encoder.trunc_method.prod == "crypten":
+                return xm.div_trunc(xm.encoder.scale)
+            return xm.egk_trunc_pr(62, xm.encoder.precision_bits)
+
+        step = curl_tpu.compile_parties(f, 2)
+        _time("trunc_big", step, xe.mpc, sync=sync, results=results)
+
+    if want("mm_acc_big"):
+        # the fused 3-pair matmul_acc at the protocol's exact shapes:
+        # (eps @ b_plain) + (eps @ b_share) + (x @ delta) with the 2-D
+        # operands SHARED (what the masked-operand Beaver runs online)
+        import jax as _jax
+
+        from curl_tpu import ring as _ring
+
+        N = BATCH * SEQ
+        lhs = [_jnp_u64(rng, (2, N, D)) for _ in range(3)]
+        rhs = [_jnp_u64(rng, (D, V)) for _ in range(3)]
+
+        @_jax.jit
+        def f3(ls, rs):
+            return _ring.matmul_acc(list(zip(ls, rs)))
+
+        step = lambda key: f3(lhs, rhs)  # noqa: E731
+        _time("mm_acc_big", step, sync=sync, results=results)
+
+    out_path = os.environ.get("OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "benchmarks", "results", f"breakdown_seq{SEQ}_b{BATCH}.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"# wrote {out_path}", file=sys.stderr)
