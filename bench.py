@@ -140,10 +140,9 @@ def _run(seq):
     on_tpu = jax.default_backend() not in ("cpu",)
     if "BENCH_BULK_RNG" in os.environ:
         curl_tpu.cfg.set("mpc.bulk_rng", os.environ["BENCH_BULK_RNG"])
-    elif on_tpu:
-        # hardware PRNG kernel: fewer HLO lines and faster than unrolled
-        # threefry on the real chip (validated: scripts/validate_pallas_rng.py)
-        curl_tpu.cfg.set("mpc.bulk_rng", "pallas_tpu")
+    # else: config default "auto" = rbg on TPU — measured fastest of the
+    # three bulk-RNG backends (r4c sweep: rbg 0.167 s / pallas_tpu 0.233 s
+    # / xla-threefry 0.245 s forward; validate_rbg_tpu.py on-device check)
     if "BENCH_FUSED_MAX" in os.environ:
         if os.environ["BENCH_FUSED_MAX"] == "1":
             curl_tpu.cfg.set("mpc.fused_max_step", "pallas_tpu")

@@ -225,17 +225,23 @@ def _bulk_rng_impl() -> str:
     """Backend for *bulk* uniform-bits generation (key derivation is always
     threefry — only the O(elements) expansion is swapped).
 
-    "auto" (default): "rbg" under the shard_map runtime, "xla" otherwise.
+    "auto" (default): "rbg" under the shard_map runtime or on the TPU
+      backend (either runtime), "xla" otherwise. The TPU default is rbg
+      since round 4: measured 0.245 s -> 0.167 s GPT-2 forward and
+      345 s -> 158 s fresh compile (tpu_queue_r4c.log), with PRZS/decode
+      invariants re-validated on device (scripts/validate_rbg_tpu.py).
+      CPU stays on threefry so recorded test streams are stable.
     "xla": jax.random.bits — threefry unrolled inline by XLA.
       Portable, but ~200 HLO ops per draw site dominate compile time (and
       compiler memory) for deep protocol graphs.
     "rbg": ONE XLA RngBitGenerator op per draw site, keyed by the same
       fold_in(key, count) chain (see _rbg_bits_u64). Collapses protocol
-      HLO size ~4x and cuts the shard_map compile ~3-4x; gated to the
-      shard_map runtime because RngBitGenerator's vmap batching rule does
-      NOT thread per-lane keys (the same silent-PRZS-break documented for
-      "rbg" in _prng_impl) — under shard_map each party is its own
-      program, so per-party key dependence is structural.
+      HLO size ~4x and cuts the shard_map compile ~3-4x. XLA's stock
+      RngBitGenerator vmap batching rule does NOT thread per-lane keys
+      (the silent-PRZS-break documented for "rbg" in _prng_impl), so the
+      vmap runtime routes through _rbg_fn's hand-written per-lane rule;
+      under shard_map each party is its own program, so per-party key
+      dependence is structural.
     "pallas_tpu": one hardware-PRNG Mosaic kernel per draw site
       (ops/pallas_rng.py). Streams are keyed by 64 bits derived from the
       same fold_in(key, count) chain, so every correlation invariant
@@ -310,13 +316,17 @@ def _rbg_bits_u64(key, count, shape):
 
 def _use_rbg() -> bool:
     # "auto" selects rbg under shard_map (where per-party keys are
-    # structural); explicit "rbg" additionally covers the vmap runtime via
-    # _rbg_fn's hand-written per-lane batching rule (XLA's own rule would
-    # silently break PRZS, so it is never relied on)
+    # structural) and on the TPU backend under EITHER runtime — the vmap
+    # runtime goes through _rbg_fn's hand-written per-lane batching rule
+    # (XLA's own rule would silently break PRZS, so it is never relied
+    # on). CPU-vmap stays threefry for stream stability of the test
+    # suite's recorded goldens.
     impl = _bulk_rng_impl()
     if impl == "rbg":
         return True
-    return impl == "auto" and comm.get_runtime() == "shard_map"
+    if impl != "auto":
+        return False
+    return comm.get_runtime() == "shard_map" or jax.default_backend() == "tpu"
 
 
 def _bits_u64(key, shape):

@@ -14,7 +14,7 @@ run() {
 
 run python -u scripts/validate_rbg_tpu.py
 
-# fresh default-config bench (auto = rbg-small + threefry-bulk hybrid);
+# fresh default-config bench (auto = rbg on the TPU backend since r4);
 # BENCH_SANITY=1 exactly mirrors the driver's bench invocation
 run BENCH_SEQ=64 python -u bench.py
 
