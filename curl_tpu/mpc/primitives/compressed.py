@@ -43,19 +43,34 @@ def bits_for_impl(key, shape, impl: str):
         return pallas_rng.pallas_random_bits_u64(
             pallas_rng.seed_from_key(key), shape
         )
+    if impl == "rbg":
+        from ... import random as crng
+
+        # one RngBitGenerator op keyed by (key, 0): the per-tensor key is
+        # the whole stream identity, so the draw counter is fixed at 0
+        return crng._rbg_bits_u64(key, 0, tuple(shape))
     return jax.random.bits(key, shape, dtype=jnp.uint64)
 
 
 def default_impl() -> str:
-    """Match random._bits_u64's current dispatch so encrypt-time expansion
-    and trace-time expansion agree by construction."""
+    """Pick the PRG impl the session's bulk-RNG dispatch would use, so
+    encrypt-time r and trace-time expansion are generated the same way.
+
+    Mirrors random._bulk_rng_impl(): "pallas_tpu" when explicitly
+    configured on TPU, "rbg" when configured or selected by "auto" on the
+    TPU backend (the round-4 default — fastest measured and ~4x smaller
+    HLO), threefry ("xla") otherwise (CPU keeps recorded test streams
+    stable). The choice is PINNED at encrypt time; later config changes
+    cannot desync expansion (bits_for_impl is keyed by the stored impl).
+    """
     from ... import random as crng
 
-    if (
-        crng._bulk_rng_impl() == "pallas_tpu"
-        and jax.default_backend() == "tpu"
-    ):
+    impl = crng._bulk_rng_impl()
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "pallas_tpu" and on_tpu:
         return "pallas_tpu"
+    if impl == "rbg" or (impl == "auto" and on_tpu):
+        return "rbg"
     return "xla"
 
 

@@ -400,14 +400,17 @@ _RING_BULK_MIN_ELEMENTS = 1 << 16
 
 
 def _ring_all_streams(shape, c):
-    """Draw ALL ws ring streams once (unbatched under vmap) -> (ws,)+shape,
-    or None when the bulk path doesn't apply.
+    """Draw ALL ws ring streams once (unbatched under vmap) -> list of ws
+    arrays, or None when the bulk path doesn't apply.
 
     Per-lane PRZS draws each ring stream twice (party p's "next" is party
     p+1's "prev"); with the unstacked "ring_all" key vector the ws streams
-    are generated once per program and each lane gathers its two. The
+    are generated once per program and each lane combines its two. The
     derived keys and bit streams are IDENTICAL to the per-lane path
     (same fold_in(ring[i], c) chain), so shares are bit-equal either way.
+    Returned as a LIST (not a stacked array): the callers' per-lane
+    combines are built from static slices, so the (ws,)+shape concat copy
+    never materializes.
     """
     import numpy as np
 
@@ -422,10 +425,8 @@ def _ring_all_streams(shape, c):
     ra = keys["ring_all"]
     ws = ra.shape[0]
     if _use_rbg():  # keep bit-identity with the per-lane rbg chain
-        return jnp.stack([_rbg_bits_u64(ra[i], c, shape) for i in range(ws)])
-    return jnp.stack(
-        [_bits_u64(jax.random.fold_in(ra[i], c), shape) for i in range(ws)]
-    )
+        return [_rbg_bits_u64(ra[i], c, shape) for i in range(ws)]
+    return [_bits_u64(jax.random.fold_in(ra[i], c), shape) for i in range(ws)]
 
 
 def przs_arithmetic(shape):
@@ -435,32 +436,51 @@ def przs_arithmetic(shape):
     The SAME trace-time counter feeds both draws so that party i's "next"
     sample equals party i+1's "prev" sample (all parties trace one program,
     so their counter sequences agree).
+
+    Bulk vmap path: party p's share is streams[p-1] - streams[p]. At ws=2
+    the two lanes' shares are d and -d for ONE shared difference
+    d = s1 - s0, so the per-lane work is a single fusable select over a
+    party-invariant array instead of two dynamic gathers + subtract per
+    lane (measured 30 ms -> HBM-bound at the (768, 50257) weight shape).
+    General ws takes ONE gather over the precomputed diffs. All variants
+    produce bit-identical shares (same streams, same ring arithmetic).
     """
     c = _next_count()
     streams = _ring_all_streams(shape, c)
     if streams is not None:
-        ws = streams.shape[0]
+        ws = len(streams)
         r = comm.rank_signed()
-        prev_s = jnp.take(streams, (r - 1) % ws, axis=0)
-        next_s = jnp.take(streams, r % ws, axis=0)
-        return prev_s - next_s
+        if ws == 2:
+            d = streams[1] - streams[0]  # = party 0's share
+            return jnp.where(r == 0, d, jnp.uint64(0) - d)
+        diffs = jnp.stack(
+            [streams[(i - 1) % ws] - streams[i] for i in range(ws)]
+        )
+        return jnp.take(diffs, r % ws, axis=0)
     cur = random_ring(shape, "prev", c)
     nxt = random_ring(shape, "next", c)
     return cur - nxt
 
 
 def przs_binary(shape, bits: int = 64):
-    """XOR-PRZS for binary shares (reference: binary.py:112-133)."""
+    """XOR-PRZS for binary shares (reference: binary.py:112-133).
+
+    ws=2 bulk vmap note: prev^next is the SAME value on both lanes (XOR is
+    symmetric), so the share is one party-invariant array — no per-lane
+    work at all."""
     c = _next_count()
     streams = _ring_all_streams(shape, c)
     if streams is not None:
         if bits < 64:
-            streams = streams >> jnp.uint64(64 - bits)
-        ws = streams.shape[0]
+            streams = [s >> jnp.uint64(64 - bits) for s in streams]
+        ws = len(streams)
+        if ws == 2:
+            return streams[0] ^ streams[1]
         r = comm.rank_signed()
-        prev_s = jnp.take(streams, (r - 1) % ws, axis=0)
-        next_s = jnp.take(streams, r % ws, axis=0)
-        return prev_s ^ next_s
+        diffs = jnp.stack(
+            [streams[(i - 1) % ws] ^ streams[i] for i in range(ws)]
+        )
+        return jnp.take(diffs, r % ws, axis=0)
     cur = random_kbit(shape, bits, "prev", c)
     nxt = random_kbit(shape, bits, "next", c)
     return cur ^ nxt

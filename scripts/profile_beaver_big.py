@@ -36,8 +36,10 @@ def main():
     from curl_tpu import random as crng
     from curl_tpu import comm
 
-    if jax.default_backend() != "cpu":
-        curl_tpu.cfg.set("mpc.bulk_rng", "pallas_tpu")
+    # mirror bench.py: honor BENCH_BULK_RNG if set, else leave the config
+    # "auto" default (rbg on TPU) so sub-op profiles match the headline run
+    if "BENCH_BULK_RNG" in os.environ:
+        curl_tpu.cfg.set("mpc.bulk_rng", os.environ["BENCH_BULK_RNG"])
     curl_tpu.init(world_size=2, seed=11)
 
     results = []

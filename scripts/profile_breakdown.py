@@ -153,13 +153,10 @@ def main():
             curl_tpu.cfg.set("mpc.fused_mul", "pallas_tpu")
     if "BENCH_RING_MM" in os.environ:
         curl_tpu.cfg.set("mpc.ring_mm_kernel", os.environ["BENCH_RING_MM"])
+    # mirror bench.py: honor BENCH_BULK_RNG if set, else leave the config
+    # "auto" default (rbg on TPU) so stage profiles match the headline run
     if "BENCH_BULK_RNG" in os.environ:
         curl_tpu.cfg.set("mpc.bulk_rng", os.environ["BENCH_BULK_RNG"])
-    else:
-        import jax as _jax
-
-        if _jax.default_backend() not in ("cpu",):
-            curl_tpu.cfg.set("mpc.bulk_rng", "pallas_tpu")
     curl_tpu.init(world_size=2, seed=11)
 
     sync = _sync_factory()

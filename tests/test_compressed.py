@@ -250,3 +250,44 @@ def test_memory_footprint_regression():
     # planes of share0 = 8 B/param (+ tiny keys)
     assert leaf_bytes(p_cmp) < 0.6 * leaf_bytes(p_mat), (
         leaf_bytes(p_cmp), leaf_bytes(p_mat))
+
+
+def test_rbg_impl_pinned_roundtrip():
+    """impl='rbg' (the round-4 TPU default_impl choice) expands through one
+    RngBitGenerator op; encrypt-time r and trace-time expansion agree, so
+    share0 + bits_for_impl(key) decodes to the plaintext — on any backend."""
+    vals = np.linspace(-4, 4, 64).reshape(8, 8)
+    key = jax.random.PRNGKey(13)
+    t = SeedCompressedArithmetic.encrypt(vals, key, impl="rbg")
+    assert t._impl == "rbg"
+    r = bits_for_impl(key, t.share0.shape, "rbg")
+    dec = np.asarray((t.share0 + r).view(jnp.int64)).astype(np.float64)
+    np.testing.assert_allclose(
+        dec / t.encoder.scale, vals, atol=1.0 / t.encoder.scale
+    )
+    # pinning: expansion uses the stored impl even if config changes later
+    with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "xla"}):
+        r2 = bits_for_impl(t.key, t.share0.shape, t._impl)
+    assert (np.asarray(r) == np.asarray(r2)).all()
+    # and the rbg stream differs from the threefry stream (really one
+    # RngBitGenerator draw, not a fallthrough)
+    tf = bits_for_impl(key, t.share0.shape, "xla")
+    assert (np.asarray(r) != np.asarray(tf)).any()
+
+
+def test_default_impl_tracks_bulk_rng_dispatch(monkeypatch):
+    """default_impl() mirrors random._bulk_rng_impl()'s auto semantics:
+    rbg on the TPU backend (round-4 default), threefry on CPU, explicit
+    settings win. Backend is monkeypatched so the TPU branch is locked in
+    from the CPU suite."""
+    from curl_tpu.mpc.primitives import compressed
+
+    assert compressed.default_impl() == "xla"  # CPU + auto
+    with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "rbg"}):
+        assert compressed.default_impl() == "rbg"
+    monkeypatch.setattr(
+        compressed.jax, "default_backend", lambda: "tpu"
+    )
+    assert compressed.default_impl() == "rbg"  # TPU + auto
+    with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "pallas_tpu"}):
+        assert compressed.default_impl() == "pallas_tpu"

@@ -70,8 +70,10 @@ def test_pallas_kernel_on_device():
 
 
 def test_rbg_przs_telescopes_and_is_deterministic():
-    """bulk_rng='rbg' (RngBitGenerator keyed by (base key, count), active
-    only under the shard_map runtime): the PRZS telescoping invariant must
+    """bulk_rng='rbg' (RngBitGenerator keyed by (base key, count); since
+    round 4 "auto" selects it on TPU under BOTH runtimes, and explicit
+    "rbg" works anywhere — the vmap runtime goes through _rbg_fn's
+    per-lane batching rule): the PRZS telescoping invariant must
     hold — party i's 'next' draw equals party i+1's 'prev' draw given the
     SAME trace counter — and equal (key, count) must reproduce equal bits.
     (Each party is drawn host-side here, so the shared-trace counter is
@@ -174,3 +176,28 @@ def test_ring_all_bulk_przs_bit_identical():
     # bulk path must actually engage (ring_all in compile keys) and give
     # distinct per-lane values
     assert (np.asarray(out_bulk[0]) != np.asarray(out_bulk[1])).any()
+
+
+def test_use_rbg_auto_selects_rbg_on_tpu_backend(monkeypatch):
+    """'auto' resolves to rbg on the TPU backend under EITHER runtime
+    (the round-4 default flip), and stays threefry on CPU-vmap. The TPU
+    branch is locked in from the CPU suite by monkeypatching
+    jax.default_backend."""
+    from curl_tpu import comm
+    from curl_tpu import random as crng
+
+    old_rt = comm.get_runtime()
+    try:
+        comm.set_runtime("vmap")
+        assert not crng._use_rbg()  # CPU + vmap + auto -> threefry
+        comm.set_runtime("shard_map")
+        assert crng._use_rbg()  # shard_map + auto -> rbg on any backend
+        comm.set_runtime("vmap")
+        monkeypatch.setattr(crng.jax, "default_backend", lambda: "tpu")
+        assert crng._use_rbg()  # TPU + vmap + auto -> rbg
+        with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "xla"}):
+            assert not crng._use_rbg()  # explicit setting wins
+        with curl_tpu.cfg.temp_override({"mpc.bulk_rng": "pallas_tpu"}):
+            assert not crng._use_rbg()
+    finally:
+        comm.set_runtime(old_rt)
