@@ -184,12 +184,7 @@ def mask_operand(y: ArithmeticSharedTensor):
     ):
         return y
     b = rng.random_ring(y.shape, rng.dealer_stream())
-    b_share = rng.przs_arithmetic(y.shape)
-    if comm.get_world_size() > 1:
-        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
-        b_share = b_share + mask * b
-    else:
-        b_share = b_share + b
+    b_share = rng.przs_share(b)
     delta = comm.all_sum(y.share - b_share)
     return MaskedArithmetic(b, b_share, delta, y.encoder)
 
@@ -205,14 +200,12 @@ def _masked_protocol(op, x, y: MaskedArithmetic, **kwargs):
         # RNG draw order as the generic path below: a, PRZS(x), PRZS(out).
         batch = np.broadcast_shapes(x.shape[:-2], y.shape[:-2])
         out_shape = batch + (x.shape[-2], y.shape[-1])
-        a_share = rng.przs_arithmetic(x.shape)
+        a_share = rng.przs_share(a)
         c_share = rng.przs_arithmetic(out_shape)
         if comm.get_world_size() > 1:
             mask = (comm.rank_signed() == 0).astype(jnp.uint64)
-            a_share = a_share + mask * a
             a_eff = a * mask
         else:
-            a_share = a_share + a
             a_eff = a
         epsilon = comm.all_sum(x.share - a_share)
         z = c_share + ring.matmul_acc(
@@ -220,15 +213,8 @@ def _masked_protocol(op, x, y: MaskedArithmetic, **kwargs):
         )
         return ArithmeticSharedTensor(z, x.encoder)
     c = ring_op(a, y.b_plain, **kwargs)  # dealer product (lane-local draw)
-    a_share = rng.przs_arithmetic(x.shape)
-    c_share = rng.przs_arithmetic(np.shape(c))
-    if comm.get_world_size() > 1:
-        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
-        a_share = a_share + mask * a
-        c_share = c_share + mask * c
-    else:
-        a_share = a_share + a
-        c_share = c_share + c
+    a_share = rng.przs_share(a)
+    c_share = rng.przs_share(c)
     epsilon = comm.all_sum(x.share - a_share)
     z = c_share + ring_op(epsilon, y.b_share, **kwargs)
     z = z + ring_op(x.share, y.delta, **kwargs)
@@ -422,23 +408,15 @@ def _rotated_onehot_fast(x_flat, size: int):
     # same draw pattern as the tuple dealer (accounting + stream parity)
     r = rng_mod.random_ring(x_flat.shape, rng_mod.dealer_stream())
     r_clear = jnp.mod(ring.to_signed(r), jnp.int64(size))
-    r_share = rng_mod.przs_arithmetic(x_flat.shape)
-    if comm.get_world_size() > 1:
-        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
-        r_share = r_share + mask * r_clear.view(jnp.uint64)
-    else:
-        r_share = r_share + r_clear.view(jnp.uint64)
+    r_share = rng_mod.przs_share(r_clear.view(jnp.uint64))
     z = comm.all_sum(x_flat.share - r_share)
     shift = jnp.mod(ring.to_signed(z), jnp.int64(size))
     x_idx = jnp.mod(r_clear + shift, jnp.int64(size)).astype(jnp.int32)
     grid = jnp.arange(size, dtype=jnp.int32)
     onehot = (x_idx[:, None] == grid[None, :]).astype(jnp.uint64)
-    oh_share = rng_mod.przs_arithmetic(x_flat.shape + (size,))
-    if comm.get_world_size() > 1:
-        m = (comm.rank_signed() == 0).astype(jnp.uint64)
-        oh_share = oh_share + m * onehot
-    else:
-        oh_share = oh_share + onehot
+    # (N, size) sharing: the fused kernel's per-lane-plain path (onehot
+    # depends on the revealed shift, so it is lane-batched under vmap)
+    oh_share = rng_mod.przs_share(onehot)
     return oh_share
 
 
@@ -528,12 +506,7 @@ def _chunked_lut_sum(x_flat, luts_rows, size: int):
     # draw r exactly as generate_one_hot does, reveal shift in ONE round
     r = rng_mod.random_ring((n,), rng_mod.dealer_stream())
     r_clear = jnp.mod(ring.to_signed(r), jnp.int64(size))
-    r_share = rng_mod.przs_arithmetic((n,))
-    if comm.get_world_size() > 1:
-        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
-        r_share = r_share + mask * r_clear.view(jnp.uint64)
-    else:
-        r_share = r_share + r_clear.view(jnp.uint64)
+    r_share = rng_mod.przs_share(r_clear.view(jnp.uint64))
     z = comm.all_sum(x_flat.share - r_share)
     shift = jnp.mod(ring.to_signed(z), jnp.int64(size)).astype(jnp.int32)
 
@@ -546,12 +519,7 @@ def _chunked_lut_sum(x_flat, luts_rows, size: int):
         rc, sh, idx = inputs
         with rng_mod.fork(idx):
             onehot = (rc[:, None] == grid).astype(jnp.uint64)
-            oh_share = rng_mod.przs_arithmetic((chunk, size))
-            if comm.get_world_size() > 1:
-                m = (comm.rank_signed() == 0).astype(jnp.uint64)
-                oh_share = oh_share + m * onehot
-            else:
-                oh_share = oh_share + onehot
+            oh_share = rng_mod.przs_share(onehot)
             j = jnp.arange(size, dtype=jnp.int32)[None, :]
             gidx = jnp.mod(j + sh[:, None], size)
             outs = []

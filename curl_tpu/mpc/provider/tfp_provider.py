@@ -23,14 +23,11 @@ from .provider import TupleProvider
 
 
 def _share_from_local(value, precision: int = 0) -> ArithmeticSharedTensor:
-    """PRZS + rank-0 adds `value` (a local plaintext draw)."""
-    share = rng.przs_arithmetic(np.shape(value))
-    if comm.get_world_size() > 1:
-        mask = (comm.rank_signed() == 0).astype(jnp.uint64)
-        share = share + mask * value
-    else:
-        share = share + value
-    return ArithmeticSharedTensor.from_shares(share, precision=precision)
+    """PRZS + rank-0 adds `value` (a local plaintext draw). Bulk shapes on
+    TPU run as one fused kernel pass (random.przs_share)."""
+    return ArithmeticSharedTensor.from_shares(
+        rng.przs_share(value), precision=precision
+    )
 
 
 def _bshare_from_local(value) -> BinarySharedTensor:

@@ -429,6 +429,38 @@ def _ring_all_streams(shape, c):
     return [_bits_u64(jax.random.fold_in(ra[i], c), shape) for i in range(ws)]
 
 
+# Fused PRZS/sharing kernel engages at or above this many elements
+# (ops/pallas_przs.py): below it, kernel launch + seed derivation beats
+# the HBM savings.
+_PRZS_KERNEL_MIN_ELEMENTS = 1 << 16
+
+
+def _przs_kernel_enabled(n: int) -> bool:
+    """cfg.mpc.przs_kernel: "auto" (default; on for TPU bulk shapes) |
+    "pallas_tpu" (same gate, explicit) | null (composable path only)."""
+    from .config import cfg
+
+    try:
+        impl = cfg.mpc.przs_kernel  # explicit null DISABLES the kernel
+    except AttributeError:
+        impl = "auto"  # knob absent from an older config: default gate
+    if impl not in ("auto", "pallas_tpu"):
+        return False
+    return (
+        n >= _PRZS_KERNEL_MIN_ELEMENTS and jax.default_backend() == "tpu"
+    )
+
+
+def _przs_seed_pair(c):
+    from .ops import pallas_przs
+
+    keys = current_keys()
+    return pallas_przs.seed_pair_from_keys(
+        jax.random.fold_in(keys["prev"], c),
+        jax.random.fold_in(keys["next"], c),
+    )
+
+
 def przs_arithmetic(shape):
     """Pseudo-random sharing of zero: prev-stream draw minus next-stream draw.
 
@@ -437,15 +469,31 @@ def przs_arithmetic(shape):
     sample equals party i+1's "prev" sample (all parties trace one program,
     so their counter sequences agree).
 
-    Bulk vmap path: party p's share is streams[p-1] - streams[p]. At ws=2
-    the two lanes' shares are d and -d for ONE shared difference
+    Bulk shapes on TPU run as ONE fused Mosaic kernel (ops/pallas_przs.py):
+    both ring streams are generated tile-by-tile in VMEM from the hardware
+    PRNG and subtracted there, so only the share itself is written to HBM
+    (the XLA path materializes both streams plus the difference; measured
+    16.5 ms vs a ~1-3 ms generation floor at the (768, 50257) weight
+    shape). Telescoping is preserved because the kernel streams are a pure
+    function of the ring seed words: party p's next seed IS party p+1's
+    prev seed.
+
+    Bulk vmap path (XLA): party p's share is streams[p-1] - streams[p]. At
+    ws=2 the two lanes' shares are d and -d for ONE shared difference
     d = s1 - s0, so the per-lane work is a single fusable select over a
     party-invariant array instead of two dynamic gathers + subtract per
-    lane (measured 30 ms -> HBM-bound at the (768, 50257) weight shape).
-    General ws takes ONE gather over the precomputed diffs. All variants
-    produce bit-identical shares (same streams, same ring arithmetic).
+    lane (measured 30 ms -> 16.5 ms at the weight shape). General ws takes
+    ONE gather over the precomputed diffs. All XLA variants produce
+    bit-identical shares (same streams, same ring arithmetic).
     """
+    import numpy as np
+
     c = _next_count()
+    n = int(np.prod(shape)) if shape else 1
+    if _przs_kernel_enabled(n):
+        from .ops import pallas_przs
+
+        return pallas_przs.pallas_przs_u64(_przs_seed_pair(c), shape)
     streams = _ring_all_streams(shape, c)
     if streams is not None:
         ws = len(streams)
@@ -460,6 +508,38 @@ def przs_arithmetic(shape):
     cur = random_ring(shape, "prev", c)
     nxt = random_ring(shape, "next", c)
     return cur - nxt
+
+
+def przs_share(value, src: int = 0):
+    """Dealer sharing of a plaintext: PRZS + rank ``src`` adds ``value``
+    (tfp_provider._share_from_local semantics; reference
+    curl/mpc/provider/tfp_provider.py:20-31).
+
+    On TPU bulk shapes this is ONE fused kernel pass: stream generation,
+    the subtract, and the src-rank plaintext add all happen in VMEM,
+    writing only the share (measured 24 ms -> kernel at the (768, 50257)
+    weight shape). ``value`` may be party-invariant under the vmap runtime
+    (TFP dealer stream — read once) or per-lane (values derived from a
+    revealed quantity); the kernel's batching rule handles both. Under
+    shard_map each party passes its local value and only rank src's
+    enters the share sum — identical semantics to the composable path."""
+    import numpy as np
+
+    shape = np.shape(value)
+    n = int(np.prod(shape)) if shape else 1
+    if _przs_kernel_enabled(n) and comm.get_world_size() > 1:
+        from .ops import pallas_przs
+
+        c = _next_count()
+        is_src = comm.rank_signed() == src
+        return pallas_przs.pallas_share_u64(
+            _przs_seed_pair(c), is_src, value, shape
+        )
+    share = przs_arithmetic(shape)
+    if comm.get_world_size() > 1:
+        mask = (comm.rank_signed() == src).astype(jnp.uint64)
+        return share + mask * value
+    return share + value
 
 
 def przs_binary(shape, bits: int = 64):
