@@ -436,14 +436,17 @@ _PRZS_KERNEL_MIN_ELEMENTS = 1 << 16
 
 
 def _przs_kernel_enabled(n: int) -> bool:
-    """cfg.mpc.przs_kernel: "auto" (default; on for TPU bulk shapes) |
-    "pallas_tpu" (same gate, explicit) | null (composable path only)."""
+    """cfg.mpc.przs_kernel: null (default — the composable XLA path fuses
+    with consumers and measured FASTER in full pipelines) | "auto" /
+    "pallas_tpu" (the fused Mosaic kernel, opt-in: its flat-tiled output
+    relayouts on first real use; see configs/default.yaml and
+    benchmarks/results/przs_kernel_ab.json)."""
     from .config import cfg
 
     try:
-        impl = cfg.mpc.przs_kernel  # explicit null DISABLES the kernel
+        impl = cfg.mpc.przs_kernel
     except AttributeError:
-        impl = "auto"  # knob absent from an older config: default gate
+        impl = None  # knob absent: same as the shipped default (off)
     if impl not in ("auto", "pallas_tpu"):
         return False
     return (

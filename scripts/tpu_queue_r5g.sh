@@ -1,11 +1,11 @@
 #!/bin/bash
-# Round-5b queue: measure the PRZS share-construction rework (shared-diff
-# select replaces per-lane double gathers, random.py:przs_arithmetic) and
-# refresh every committed breakdown artifact under the TRUE config default
-# (no BENCH_BULK_RNG override — the round-4 advisor flagged that the r4e
-# breakdowns were accidentally measured under pallas bulk RNG).
+# Round-5g queue: full measurement pass under the FINAL round-5 default —
+# shared-diff select PRZS (XLA, fuses with consumers) + rbg bulk RNG;
+# przs Mosaic kernel off by default after the layout finding
+# (przs_kernel_ab.json: kernel output relayout costs ~20 ms at the weight
+# shape; XLA przs+reveal fuses to 11.8 ms).
 set -u -o pipefail
-LOG=${1:-benchmarks/results/tpu_queue_r5b.log}
+LOG=${1:-benchmarks/results/tpu_queue_r5g.log}
 cd "$(dirname "$0")/.."
 run() {
   echo "=== $* === $(date)" | tee -a "$LOG"
@@ -13,23 +13,19 @@ run() {
   echo "--- exit status: $? $(date)" | tee -a "$LOG"
 }
 
-# 1. Beaver decomposition at the weight shape: przs_big/triple_big are the
-#    rows the rework targets (30 ms / 53 ms in r4e)
-run LOOP=32 REPS=3 python -u scripts/profile_beaver_big.py \
-  przs_big triple_big mm_norescale trunc_out mpc_mm
-
-# 2. mm_big + full-stage refresh (writes breakdown_seq64_b1.json +
-#    beaver_big_breakdown.json via profile_breakdown's OUT default)
+# 1. Beaver decomposition at the weight shape under the final default
 run LOOP=32 REPS=3 OUT=benchmarks/results/beaver_big_breakdown.json \
   python -u scripts/profile_breakdown.py \
   mm_big mm_big_pub przs_big triple_big trunc_big mm_acc_big rng_big
+
+# 2. full-stage breakdown refresh
 run LOOP=32 python -u scripts/profile_breakdown.py \
   embed lm_head block vocab_sm embed_onehot embed_mm
 
 # 3. headline bench exactly as the driver runs it
 run python -u bench.py
 
-# 4. matrix rows under the current default
+# 4. matrix rows
 run BENCH_COMPRESS=1 BENCH_SEQ=64 BENCH_SANITY=0 python -u bench.py
 run BENCH_CACHE=1 BENCH_SEQ=64 BENCH_SANITY=0 python -u bench.py
 run BENCH_BATCH=8 BENCH_SEQ=64 BENCH_SANITY=0 python -u bench.py
@@ -40,4 +36,4 @@ run BENCH_COMPRESS=1 BENCH_BATCH=8 BENCH_CACHE=1 BENCH_SEQ=64 BENCH_SANITY=0 pyt
 run BENCH_MODEL=GPTNeo BENCH_SEQ=64 BENCH_VOCAB_CHUNKS=16 BENCH_SANITY=0 python -u bench.py
 run BENCH_MODEL=GPTNeo BENCH_SEQ=64 BENCH_VOCAB_CHUNKS=16 BENCH_BATCH=2 BENCH_SANITY=0 python -u bench.py
 
-echo "QUEUE R5B DONE $(date)" | tee -a "$LOG"
+echo "QUEUE R5G DONE $(date)" | tee -a "$LOG"

@@ -38,6 +38,9 @@ from curl_tpu.parallel import runner
 def main():
     assert jax.default_backend() == "tpu", "requires the TPU backend"
     curl_tpu.init(world_size=2, seed=11)
+    # the kernel is OPT-IN since the layout finding (przs_kernel_ab.json);
+    # force it on for validation
+    curl_tpu.cfg.set("mpc.przs_kernel", "pallas_tpu")
 
     shape = (768, 128)  # 98304 elements >= the 2^16 kernel threshold
 
