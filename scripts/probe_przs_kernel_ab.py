@@ -222,6 +222,46 @@ def main():
             prog = curl_tpu.compile_parties(lambda: reveal_loop(), 2)
             report("reveal_gather_null", prog, jax.random.PRNGKey(7))
 
+    if want("reveal_kernel2d"):
+        # the native-2-D-tiled kernel variant (no output relayout) + psum:
+        # the number that decides whether the kernel default flips back on
+        with curl_tpu.cfg.temp_override({"mpc.przs_kernel": "pallas_tpu"}):
+            def reveal_loop():
+                def body(acc, i):
+                    with crng.fork(i):
+                        x = crng.przs_arithmetic((K, V))
+                        r = comm.all_sum(x)
+                    return acc + r.reshape(-1)[:8].sum(), None
+
+                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint64),
+                                      jnp.arange(LOOP))
+                return acc
+
+            prog = curl_tpu.compile_parties(lambda: reveal_loop(), 2)
+            report("reveal_kernel2d", prog, jax.random.PRNGKey(7))
+
+    if want("mm_real_kernel2d"):
+        with curl_tpu.cfg.temp_override({"mpc.przs_kernel": "pallas_tpu"}):
+            rng0 = np.random.default_rng(0)
+            x = rng0.normal(size=(64, K))
+            w = rng0.normal(size=(K, V)) * 0.02
+            xe = curl_tpu.cryptensor(x)
+            we = curl_tpu.cryptensor(w)
+
+            def mm_loop(xm, wm):
+                def body(acc, i):
+                    with crng.fork(i):
+                        out = xm.matmul(wm)
+                    return acc + out.share.reshape(-1)[:8].sum(), None
+
+                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint64),
+                                      jnp.arange(LOOP))
+                return acc
+
+            prog = curl_tpu.compile_parties(mm_loop, 2)
+            report("mm_real_kernel2d", prog, jax.random.PRNGKey(7),
+                   xe.mpc, we.mpc)
+
     if want("reveal_psum_null"):
         with curl_tpu.cfg.temp_override({"mpc.przs_kernel": None}):
             def reveal_loop():

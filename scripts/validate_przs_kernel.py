@@ -42,27 +42,29 @@ def main():
     # force it on for validation
     curl_tpu.cfg.set("mpc.przs_kernel", "pallas_tpu")
 
-    shape = (768, 128)  # 98304 elements >= the 2^16 kernel threshold
+    shape = (768, 128)   # 2-D: routes to the native-tiled kernel variant
+    shape1d = (131072,)  # 1-D: routes to the flat kernel (pallas_rng tiles)
 
-    # -- 1. stream identity vs composed pallas_rng draws ------------------
+    # -- 1. stream identity vs composed pallas_rng draws (FLAT path only:
+    # the 2-D variant tiles the true shape, so its streams are its own) --
     kp = jax.random.fold_in(jax.random.key(1), 7)
     kn = jax.random.fold_in(jax.random.key(2), 7)
     sp = pallas_przs.seed_pair_from_keys(kp, kn)
 
     @jax.jit
     def kernel_przs(spv):
-        return pallas_przs.pallas_przs_u64(spv, shape)
+        return pallas_przs.pallas_przs_u64(spv, shape1d)
 
     @jax.jit
     def composed(spv):
-        a = pallas_random_bits_u64(spv[0], shape)
-        b = pallas_random_bits_u64(spv[1], shape)
+        a = pallas_random_bits_u64(spv[0], shape1d)
+        b = pallas_random_bits_u64(spv[1], shape1d)
         return a - b
 
     kz = np.asarray(kernel_przs(sp))
     cz = np.asarray(composed(sp))
     assert (kz == cz).all(), "kernel stream != composed pallas_rng streams"
-    print("ok: stream identity (kernel == pallas_rng prev - next)")
+    print("ok: stream identity (flat kernel == pallas_rng prev - next)")
 
     # -- 4. determinism ---------------------------------------------------
     kz2 = np.asarray(kernel_przs(sp))

@@ -26,21 +26,20 @@ def _init():
 
 def test_kernel_gate_predicate(monkeypatch):
     n_big = 1 << 18
-    # default (null): off everywhere — the composable XLA path fuses with
-    # consumers and measured faster in full pipelines (przs_kernel_ab)
+    # CPU: never, regardless of size/config
     assert not rng._przs_kernel_enabled(n_big)
     with curl_tpu.cfg.temp_override({"mpc.przs_kernel": "pallas_tpu"}):
-        assert not rng._przs_kernel_enabled(n_big)  # CPU: never
-    # TPU (monkeypatched backend): opt-in engages at/above the threshold
+        assert not rng._przs_kernel_enabled(n_big)
+    # TPU (monkeypatched backend): the "auto" default engages at/above
+    # the threshold; explicit null selects the composable path
     monkeypatch.setattr(rng.jax, "default_backend", lambda: "tpu")
-    assert not rng._przs_kernel_enabled(n_big)  # default still off
-    for opt in ("auto", "pallas_tpu"):
-        with curl_tpu.cfg.temp_override({"mpc.przs_kernel": opt}):
-            assert rng._przs_kernel_enabled(n_big)
-            assert rng._przs_kernel_enabled(rng._PRZS_KERNEL_MIN_ELEMENTS)
-            assert not rng._przs_kernel_enabled(
-                rng._PRZS_KERNEL_MIN_ELEMENTS - 1
-            )
+    assert rng._przs_kernel_enabled(n_big)
+    assert rng._przs_kernel_enabled(rng._PRZS_KERNEL_MIN_ELEMENTS)
+    assert not rng._przs_kernel_enabled(rng._PRZS_KERNEL_MIN_ELEMENTS - 1)
+    with curl_tpu.cfg.temp_override({"mpc.przs_kernel": None}):
+        assert not rng._przs_kernel_enabled(n_big)
+    with curl_tpu.cfg.temp_override({"mpc.przs_kernel": "pallas_tpu"}):
+        assert rng._przs_kernel_enabled(n_big)
 
 
 def test_przs_share_fallback_matches_manual_composable():
