@@ -103,6 +103,14 @@ def init(config_file=None, world_size: int = 2, seed: int = 0, device=None):
     _session.keys = _rng.make_party_keys(seed, world_size)
     _session.counter = 0
     _rng.reset_count()  # same seed + same ops => same protocol randomness
+    # weight-init streams restart too: init() fully determines every later
+    # model's random parameters (torch.manual_seed semantics). Without
+    # this the GLOBAL init counter made weights depend on how many models
+    # any EARLIER code had built — observed as order-dependent LUT-range
+    # flakes in weight-sensitive tests.
+    from .nn import module as _nn_module
+
+    _nn_module._init_counter[0] = 0
     _session.initialized = True
     from .functions.luts import LookupTables
 

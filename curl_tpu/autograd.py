@@ -108,7 +108,11 @@ class AutogradFunction:
 
 
 def _is_tensor_like(x):
-    return hasattr(x, "share") or hasattr(x, "mpc")
+    # probe the CLASS, not the instance: share/mpc are properties on the
+    # tensor types, and executing them here (hasattr(x, ...) would) can
+    # require a party context this dispatch point does not have
+    t = type(x)
+    return hasattr(t, "share") or hasattr(t, "mpc")
 
 
 def _encrypt_like(tensor, value):

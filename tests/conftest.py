@@ -33,17 +33,33 @@ def _init_session():
     yield
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_module_session():
+    """Every test FILE starts from the canonical session (seed 1234, ws 2,
+    trace counter 0). Without this, a file inherits whatever session seed /
+    counter state the previous file left, so protocol masks differ between
+    full-suite and standalone runs — borderline LUT-tolerance tests then
+    flake by ORDER (observed: onnx Div parity)."""
+    curl_tpu.init(world_size=2, seed=1234)
+    yield
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(2024)
 
 
 def reinit(world_size=2, seed=None, config=None):
-    """Re-initialize the eager session with different parameters."""
-    import itertools
+    """Re-initialize the eager session with different parameters.
+
+    A default seed is derived from the CURRENT TEST id, not the global
+    numpy RNG: the latter made session keys depend on suite order."""
+    import hashlib
 
     if seed is None:
-        seed = np.random.randint(0, 2**31 - 1)
+        tid = os.environ.get("PYTEST_CURRENT_TEST", "global")
+        digest = hashlib.sha256(tid.encode()).digest()
+        seed = int.from_bytes(digest[:4], "little") % (2**31 - 1)
     if config is not None:
         base = os.path.join(os.path.dirname(curl_tpu.__file__), "configs")
         curl_tpu.cfg.load_config(os.path.join(base, config))

@@ -121,6 +121,7 @@ def test_ppermute_ring(ws, shift):
 
 def test_world_size_one_passthrough():
     reinit(world_size=2)
+    old_ws = comm.get_world_size()
     comm.set_world_size(1)
     try:
         x = jnp.arange(6.0).reshape(2, 3)
@@ -131,7 +132,11 @@ def test_world_size_one_passthrough():
         # degenerate world performs no communication at all
         assert comm.get_communication_stats()["rounds"] == 0
     finally:
-        comm.set_world_size(2)
+        # restore the PRE-TEST value: a hard-coded 2 here leaked a
+        # module-global world size into every later test file (ordering
+        # flake: compressed .share outside a party trace then took the
+        # ws==2 branch and hit an unbound axis error)
+        comm.set_world_size(old_ws)
 
 
 @pytest.mark.parametrize("ws", [2, 3])

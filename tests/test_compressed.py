@@ -235,16 +235,18 @@ def test_memory_footprint_regression():
             getattr(l, "nbytes", 0) for l in jax.tree_util.tree_leaves(tree)
         )
 
-    curl_tpu.cfg.set("models.head_chunk_positions", 0)
-    m_mat = models.GPT(embed_dim=16, num_heads=2, num_blocks=1, vocab_size=64,
-                       seq_len=4, full=False)
-    m_mat.encrypt(src=0)
-    _, p_mat = m_mat.functional()
+    # temp_override, NOT cfg.set: a leaked head_chunk_positions=0 broke
+    # test_max_cascade's chunking parity test in full-suite order
+    with curl_tpu.cfg.temp_override({"models.head_chunk_positions": 0}):
+        m_mat = models.GPT(embed_dim=16, num_heads=2, num_blocks=1,
+                           vocab_size=64, seq_len=4, full=False)
+        m_mat.encrypt(src=0)
+        _, p_mat = m_mat.functional()
 
-    m_cmp = models.GPT(embed_dim=16, num_heads=2, num_blocks=1, vocab_size=64,
-                       seq_len=4, full=False)
-    m_cmp.encrypt(src=0, seed_compress=True)
-    _, p_cmp = m_cmp.functional()
+        m_cmp = models.GPT(embed_dim=16, num_heads=2, num_blocks=1,
+                           vocab_size=64, seq_len=4, full=False)
+        m_cmp.encrypt(src=0, seed_compress=True)
+        _, p_cmp = m_cmp.functional()
 
     # materialized: (2, ...) u64 stacks = 16 B/param; compressed: u32 lo+hi
     # planes of share0 = 8 B/param (+ tiny keys)
